@@ -1,0 +1,123 @@
+"""Single runtime configuration for the whole engine.
+
+The reference scatters its tuning constants over compile-time #defines in
+three headers (reference: include/edgegraph3d/utils/globals/global_defines.hpp:35-54,
+include/edgegraph3d/plgs/polyline_graph_2d.hpp:56-80,
+include/edgegraph3d/matching/plg_matching/plg_matching.hpp:39-62,
+include/edgegraph3d/matching/polyline_matching/polyline_matcher.hpp:45,
+include/edgegraph3d/filtering/gauss_newton.hpp:18,
+include/edgegraph3d/filtering/outliers_filtering.hpp:16).  Here they are one
+frozen dataclass so a run is fully described by (inputs, config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EdgeGraphConfig:
+    # ---- PLG extraction / 2D graph optimization -------------------------
+    #: Douglas-Peucker-style simplification tolerance in px
+    #: (ref: polyline_graph_2d.hpp:69 MAXIMUM_LINEARIZABILITY_DISTANCE 1.0).
+    simplify_tolerance_px: float = 1.0
+    #: min angle cos for a "smooth" chain continuation
+    #: (ref: polyline_graph_2d.hpp:64-65, 0.707).
+    smooth_cos_min: float = 0.707
+    #: keep components having >=1 polyline in the top fraction of smooth
+    #: length (ref: polyline_graph_2d.hpp:67 TOP_FILTER_BY_POLYLINESMOOTHLENGTH 0.82).
+    top_smooth_length_keep: float = 0.82
+    #: max distance for connecting close extremes of different components
+    #: (ref: polyline_graph_2d_hmap_impl.cpp:141-168, 6 px).
+    connect_extremes_max_dist_px: float = 6.0
+    #: degenerate loops shorter than this many coords are removed
+    #: (ref: polyline_graph_2d_hmap_impl.cpp, < 5 coords).
+    degenerate_loop_min_coords: int = 5
+    #: loops with length >= this are split (ref: hmap_impl.cpp:237-253, 10).
+    split_loop_min_len: int = 10
+    #: pixel-graph cycle suppression BFS bound
+    #: (ref: convert_edge_images_pixel_to_segment.cpp LOOP_CHECK_DIST 8).
+    loop_check_dist: int = 8
+
+    # ---- epipolar geometry ---------------------------------------------
+    #: quasi-parallel epipolar/segment detection: |cos| above this within
+    #: this distance counts as parallel (ref: polyline_graph_2d.hpp:72-74).
+    quasiparallel_cos: float = 0.965
+    quasiparallel_dist_px: float = 5.0
+    #: min common refpoints for estimating F from correspondences
+    #: (ref: geometric_utilities.cpp:750-781, 10).
+    fmat_min_common_points: int = 10
+
+    # ---- PLG following / matching --------------------------------------
+    #: step length on the driving view (ref: plg_matching.hpp:39
+    #: PLG_FOLLOW_FIRST_IMAGE_DISTANCE 10).
+    follow_first_image_dist_px: float = 10.0
+    #: bounded distance clamp for epipolar-intersection steps on other
+    #: views (ref: plg_matching.hpp:40-41, [5, 20] px).
+    follow_min_dist_px: float = 5.0
+    follow_max_dist_px: float = 20.0
+    #: minimum views for a followed 3D point (ref: plg_matching.hpp:62, 3).
+    min_views: int = 3
+    #: a new plg point must survive this many following steps
+    #: (ref: plg_matching.cpp:1276-1287, 2).
+    new_point_min_steps: int = 2
+    #: max following steps per sweep (TPU-native bound replacing the
+    #: reference's unbounded while loop, plg_matching.cpp:765-795).
+    max_follow_steps: int = 256
+    #: GN acceptance during matching (ref: triangulation.cpp:168, MSE < 9 px^2).
+    match_gn_max_mse: float = 9.0
+    #: GN iterations (ref: triangulation.cpp:122 / gauss_newton.cpp:97, 30).
+    gn_max_iters: int = 30
+    #: GN convergence epsilon (ref: triangulation.cpp:150, 5e-7).
+    gn_epsilon: float = 5e-7
+    #: expand-all-views projection tolerance
+    #: (ref: triangulation.hpp:46 MAX_3DPOINT_PROJECTIONDISTSQ_EXPANDALLVIEWS 16 px^2).
+    expand_max_projection_distsq: float = 16.0
+
+    # ---- stage drivers --------------------------------------------------
+    #: interval sampling distance along polylines in stages 1-2
+    #: (ref: polyline_matching.hpp:51 SPLIT_INTERVAL_DISTANCE 20).
+    split_interval_distance_px: float = 20.0
+    #: refpoint-to-polyline distance for the similarity graph
+    #: (ref: polyline_matcher.hpp:45 FIND_WITHIN_DIST 10).
+    find_within_dist_px: float = 10.0
+    #: stage-2 closeness matcher: required fraction of views with close
+    #: polylines (ref: polyline_matcher.cpp:75-168, 0.7) and max
+    #: min/max close-distance ratio (3).
+    closeness_min_view_coverage: float = 0.7
+    closeness_max_dist_ratio: float = 3.0
+    #: refpoint stage detection radii (ref: global_defines.hpp: starting 10 px,
+    #: correspondence radius = starting_dist * 3, capped at 30 px grid).
+    detection_starting_dist_px: float = 10.0
+    detection_correspondence_factor: float = 3.0
+
+    # ---- filtering ------------------------------------------------------
+    #: final GN filter acceptance (ref: gauss_newton.hpp:18 GN_MAX_MSE 2.25 px^2).
+    filter_gn_max_mse: float = 2.25
+    #: min observations floor (ref: outliers_filtering.hpp:16
+    #: FILTER_3VIEWS_AMOUNT 3; applied as max(3, median_rays/2 - 1)).
+    filter_min_views: int = 3
+    #: density-filter cell size (ref: filtering_close_plgps.cpp CELLSIZE 3 px).
+    density_cell_size_px: int = 3
+
+    # ---- padding budgets (TPU-native: fixed shapes + masks) -------------
+    max_polylines_per_view: int = 2048
+    max_polyline_len: int = 256
+    max_obs_per_point: int = 64
+    #: grid candidate list length per cell
+    grid_cell_capacity: int = 8
+    #: per-refpoint candidate intersections per view
+    max_candidates_per_view: int = 4
+
+    # ---- numerics -------------------------------------------------------
+    #: compute dtype for geometry kernels on device. f32 + normalized
+    #: coordinates matches the reference's f64 acceptance decisions in
+    #: practice; tests may use f64 on CPU for parity.
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "EdgeGraphConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = EdgeGraphConfig()

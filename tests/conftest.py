@@ -1,0 +1,30 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated without TPU hardware via
+XLA's host-platform device splitting; the driver separately dry-runs
+the same code through __graft_entry__.dryrun_multichip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_scene():
+    from edgegraph3d_tpu.core.synthetic import make_scene
+
+    return make_scene(n_cams=8, n_refpoints_per_curve=16,
+                      width=320, height_px=240, focal=400.0, seed=3)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
