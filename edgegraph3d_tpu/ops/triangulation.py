@@ -1,0 +1,185 @@
+"""Triangulation and batched per-point Gauss-Newton refinement.
+
+TPU-native replacement for the reference's per-point OpenCV pipeline
+(reference: src/edgegraph3d/utils/geometry/triangulation.cpp):
+  * init by two-view DLT on the (min-id, max-id) camera pair
+    (parity: em_estimate3Dpositions, triangulation.cpp:178-323 —
+    widest-baseline heuristic) or N-view DLT,
+  * <=30 damped-free Gauss-Newton iterations over all observations,
+    residual r = observed - projected, mse = sum r^2 / (2N),
+    convergence |mse - last_mse| < 5e-7, update X += H^-1 J^T r,
+    reject on near-singular Hessian (det < 1e-5) or final mse >= accept
+    (parity: em_GaussNewton + em_point2D3DJacobian,
+     triangulation.cpp:53-176; filter variant gauss_newton.cpp:83-134).
+
+All functions are batched over points: observations come in fixed-shape
+padded tensors [N, O, ...] with a boolean mask, and the whole solve is
+one fused XLA computation of batched 3x3 solves — the reference's
+`#pragma omp for` over points becomes the batch dimension.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from edgegraph3d_tpu.ops.geometry import project
+
+# true-f32 accumulation for tiny contractions (see geometry.py)
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+# ----------------------------------------------------------------------
+# DLT triangulation
+# ----------------------------------------------------------------------
+
+def triangulate_dlt(P: jnp.ndarray, xy: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous N-view DLT.
+
+    P: [..., O, 3, 4], xy: [..., O, 2], mask: [..., O] -> X [..., 3].
+    Rows (x*P3 - P1), (y*P3 - P2) per view; smallest eigenvector of
+    A^T A (4x4 eigh — batched, MXU/VPU friendly; replaces
+    cv::triangulatePoints' SVD).
+    """
+    dtype = P.dtype
+    r1 = xy[..., 0:1] * P[..., 2, :] - P[..., 0, :]   # [...,O,4]
+    r2 = xy[..., 1:2] * P[..., 2, :] - P[..., 1, :]
+    A = jnp.concatenate([r1, r2], axis=-2)            # [...,2O,4]
+    m2 = jnp.concatenate([mask, mask], axis=-1).astype(dtype)[..., None]
+    # row normalization improves conditioning in f32
+    rn = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.maximum(rn, 1e-12) * m2
+    AtA = _einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    Xh = vecs[..., :, 0]
+    w = Xh[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    return Xh[..., :3] / w[..., None]
+
+
+def triangulate_pair_minmax(P_obs: jnp.ndarray, xy: jnp.ndarray,
+                            cam_idx: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Two-view DLT on the (min cam id, max cam id) observations.
+
+    Mirrors em_estimate3Dpositions' widest-baseline init
+    (triangulation.cpp:186-254).  P_obs: [...,O,3,4] gathered per-obs
+    projection matrices, cam_idx: [...,O] int (-1 padded), mask [...,O].
+    """
+    big = jnp.where(mask, cam_idx, jnp.iinfo(jnp.int32).max)
+    small = jnp.where(mask, cam_idx, -1)
+    i_min = jnp.argmin(big, axis=-1)
+    i_max = jnp.argmax(small, axis=-1)
+    sel = jnp.stack([i_min, i_max], axis=-1)          # [...,2]
+    take = lambda arr: jnp.take_along_axis(
+        arr, sel.reshape(sel.shape + (1,) * (arr.ndim - sel.ndim))
+        .astype(jnp.int32), axis=sel.ndim - 1)
+    P2 = jnp.take_along_axis(P_obs, sel[..., None, None], axis=-3)
+    xy2 = jnp.take_along_axis(xy, sel[..., None], axis=-2)
+    del take
+    m2 = jnp.ones(sel.shape, dtype=bool)
+    return triangulate_dlt(P2, xy2, m2)
+
+
+# ----------------------------------------------------------------------
+# Batched Gauss-Newton
+# ----------------------------------------------------------------------
+
+def gauss_newton_batched(
+    P_obs: jnp.ndarray,      # [N, O, 3, 4] per-observation cameras
+    xy: jnp.ndarray,         # [N, O, 2]    observed 2D points
+    mask: jnp.ndarray,       # [N, O]       valid observations
+    X0: jnp.ndarray,         # [N, 3]       initial 3D points
+    max_iters: int = 30,
+    epsilon: float = 5e-7,
+    accept_mse: float = 9.0,
+    det_min: float = 1e-5,
+):
+    """Refine all points at once; returns (X, mse, valid).
+
+    Semantics follow em_GaussNewton exactly (triangulation.cpp:105-176):
+    per-point early stop when the mse change drops below `epsilon`
+    (implemented as a freeze mask — identical fixed-point, fixed cost),
+    rejection on near-singular Hessians, acceptance on final
+    mse < accept_mse.  `mse` is sum of squared pixel residuals / (2 *
+    n_obs).
+    """
+    dtype = X0.dtype
+    n_obs = jnp.maximum(jnp.sum(mask, axis=-1), 1).astype(dtype)   # [N]
+    mf = mask.astype(dtype)
+
+    def residuals_mse(X):
+        pr = project(P_obs, X[:, None, :])            # [N,O,2]
+        r = (xy - pr) * mf[..., None]
+        mse = jnp.sum(r * r, axis=(-2, -1)) / (2.0 * n_obs)
+        return r, mse
+
+    def jacobian(X):
+        """J rows d(proj)/dX per obs: [N,O,2,3]."""
+        Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+        proj = _einsum("noij,nj->noi", P_obs, Xh)   # [N,O,3]
+        xH, yH, zH = proj[..., 0], proj[..., 1], proj[..., 2]
+        zH = jnp.where(jnp.abs(zH) < 1e-12,
+                       jnp.where(zH < 0, -1e-12, 1e-12), zH)
+        p0 = P_obs[..., 0, :3]                         # [N,O,3]
+        p1 = P_obs[..., 1, :3]
+        p2 = P_obs[..., 2, :3]
+        z2 = (zH * zH)[..., None]
+        Jx = (p0 * zH[..., None] - p2 * xH[..., None]) / z2
+        Jy = (p1 * zH[..., None] - p2 * yH[..., None]) / z2
+        return jnp.stack([Jx, Jy], axis=-2)            # [N,O,2,3]
+
+    def body(_, carry):
+        X, last_mse, frozen, singular = carry
+        r, mse = residuals_mse(X)
+        conv = jnp.abs(mse - last_mse) < epsilon
+        now_frozen = frozen | conv
+        J = jacobian(X) * mf[..., None, None]
+        H = _einsum("noki,nokj->nij", J, J)         # [N,3,3]
+        g = _einsum("noki,nok->ni", J, r)           # [N,3]
+        detH = jnp.linalg.det(H)
+        # absolute test mirrors the reference (det < 1e-5,
+        # triangulation.cpp:97-99); the scale-relative test catches
+        # rank-deficient H whose f32 det noise exceeds the absolute
+        # threshold (e.g. all observations from one camera).
+        h_scale = jnp.linalg.norm(H, axis=(-2, -1)) / jnp.sqrt(3.0)
+        bad = (jnp.abs(detH) < det_min) | (
+            jnp.abs(detH) < 1e-5 * h_scale ** 3)
+        H_safe = jnp.where(bad[:, None, None], jnp.eye(3, dtype=dtype), H)
+        dX = jnp.linalg.solve(H_safe, g[..., None])[..., 0]
+        step_ok = ~(now_frozen | bad)
+        X_new = jnp.where(step_ok[:, None], X + dX, X)
+        last_new = jnp.where(now_frozen, last_mse, mse)
+        singular = singular | (bad & ~now_frozen)
+        return X_new, last_new, now_frozen, singular
+
+    zero = jnp.zeros(X0.shape[0], dtype=dtype)
+    frozen0 = jnp.zeros(X0.shape[0], dtype=bool)
+    X, last_mse, _, singular = jax.lax.fori_loop(
+        0, max_iters, body, (X0, zero, frozen0, frozen0))
+    valid = (~singular) & (last_mse < accept_mse) & (jnp.sum(mask, axis=-1) >= 2)
+    return X, last_mse, valid
+
+
+def estimate_3d_positions(
+    P_obs: jnp.ndarray, xy: jnp.ndarray, cam_idx: jnp.ndarray,
+    mask: jnp.ndarray, max_iters: int = 30, epsilon: float = 5e-7,
+    accept_mse: float = 9.0,
+):
+    """Full em_estimate3Dpositions parity (triangulation.cpp:178-323):
+    widest-pair DLT init, then batched GN over all observations."""
+    X0 = triangulate_pair_minmax(P_obs, xy, cam_idx, mask)
+    return gauss_newton_batched(P_obs, xy, mask, X0,
+                                max_iters=max_iters, epsilon=epsilon,
+                                accept_mse=accept_mse)
+
+
+def reprojection_mse(P_obs, xy, mask, X):
+    """Mean squared pixel reprojection error per point, sum r^2/(2N)."""
+    mf = mask.astype(X.dtype)
+    pr = project(P_obs, X[..., None, :])
+    r = (xy - pr) * mf[..., None]
+    n = jnp.maximum(jnp.sum(mask, axis=-1), 1).astype(X.dtype)
+    return jnp.sum(r * r, axis=(-2, -1)) / (2.0 * n)

@@ -7,11 +7,17 @@ the same code through __graft_entry__.dryrun_multichip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+import jax  # noqa: E402
+
+# The image's site hook pins JAX_PLATFORMS=axon (TPU tunnel) regardless of
+# the env var, so force CPU through the config API as well.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
