@@ -1,0 +1,106 @@
+"""Nearby-polyline and epipolar-correspondence detection.
+
+TPU-native replacement for the reference's `PLGEdgeManager`
+(reference: src/edgegraph3d/edge_managers/plg_edge_manager.cpp:46-300):
+
+  * detect_starting_intersections — closest points of nearby polylines
+    to a refpoint's 2D observation, within `starting_dist`
+    (parity: detect_nearby_intersections_and_correspondences_plgp
+     :261-300, starting radius 10 px)
+  * detect_epipolar_correspondences — intersections of an epipolar line
+    with polylines near the observation, within the correspondence
+    radius (= starting distance x 3, capped by the grid reach; parity:
+    radius logic :169-182 and epipolar intersection collection :208-259)
+
+Both are single-query functions vmapped over (refpoint, view) batches;
+candidates come from the segment grid (grid.py), geometry is dense and
+masked.  Results are fixed-width top-M lists of *distinct* polylines.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from edgegraph3d_tpu.matching.grid import (BIG, gather_neighborhood,
+                                           point_segment_distance)
+
+
+class Candidates(NamedTuple):
+    """Fixed-width per-query candidate list (padded with valid=False)."""
+    pl_id: jnp.ndarray    # [M] int32
+    seg: jnp.ndarray      # [M] int32
+    t: jnp.ndarray        # [M] float
+    xy: jnp.ndarray       # [M,2]
+    dist: jnp.ndarray     # [M] distance to the query point
+    valid: jnp.ndarray    # [M] bool
+
+
+def _topm_distinct(pl_ids: jnp.ndarray, dist: jnp.ndarray, seg: jnp.ndarray,
+                   t: jnp.ndarray, xy: jnp.ndarray, M: int) -> Candidates:
+    """Select the M closest candidates with distinct polyline ids."""
+    C = pl_ids.shape[0]
+    order = jnp.argsort(dist)
+    pls = pl_ids[order]
+    ds = dist[order]
+    # first occurrence of each polyline id in sorted order
+    eq = pls[:, None] == pls[None, :]
+    earlier = jnp.any(jnp.tril(eq, k=-1), axis=1)
+    firsts = (~earlier) & (ds < BIG / 2) & (pls >= 0)
+    rank = jnp.cumsum(firsts) - 1
+    slot = jnp.where(firsts & (rank < M), rank, M)
+    scatter = lambda src, fill: jnp.full((M + 1,) + src.shape[1:], fill,
+                                         src.dtype).at[slot].set(src)[:M]
+    return Candidates(
+        pl_id=scatter(pls, -1),
+        seg=scatter(seg[order], 0),
+        t=scatter(t[order], 0.0),
+        xy=scatter(xy[order], 0.0),
+        dist=scatter(ds, BIG),
+        valid=scatter(firsts, False),
+    )
+
+
+def detect_starting_intersections(grid: jnp.ndarray, coords: jnp.ndarray,
+                                  pt: jnp.ndarray, cell: float,
+                                  starting_dist: float, M: int,
+                                  radius_cells: int = 1) -> Candidates:
+    """Top-M distinct polylines whose closest point to `pt` is within
+    `starting_dist`.  grid [GH,GW,K,2]; coords [P,L,2] (view's polylines).
+    """
+    entries = gather_neighborhood(grid, pt, cell, radius_cells)   # [C,2]
+    pl = entries[:, 0]
+    sg = entries[:, 1]
+    ok = pl >= 0
+    a = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0)]
+    b = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0) + 1]
+    d, t, proj = point_segment_distance(pt, a, b)
+    d = jnp.where(ok & (d <= starting_dist), d, BIG)
+    return _topm_distinct(pl, d, sg, t, proj, M)
+
+
+def detect_epipolar_correspondences(grid: jnp.ndarray, coords: jnp.ndarray,
+                                    obs_pt: jnp.ndarray, line: jnp.ndarray,
+                                    cell: float, radius: jnp.ndarray,
+                                    M: int, radius_cells: int = 2
+                                    ) -> Candidates:
+    """Top-M distinct polylines intersecting the epipolar `line` within
+    `radius` of `obs_pt` (the refpoint's observation in this view)."""
+    entries = gather_neighborhood(grid, obs_pt, cell, radius_cells)
+    pl = entries[:, 0]
+    sg = entries[:, 1]
+    ok = pl >= 0
+    a = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0)]
+    b = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0) + 1]
+    # segment x line intersection
+    sa = a[:, 0] * line[0] + a[:, 1] * line[1] + line[2]
+    sb = b[:, 0] * line[0] + b[:, 1] * line[1] + line[2]
+    diff = sa - sb
+    parallel = jnp.abs(diff) < 1e-9
+    s = jnp.where(parallel, 0.0, sa / jnp.where(parallel, 1.0, diff))
+    crosses = ((sa * sb) <= 0.0) & ~parallel & (s >= 0.0) & (s <= 1.0)
+    xy = a + s[:, None] * (b - a)
+    d = jnp.linalg.norm(xy - obs_pt, axis=-1)
+    d = jnp.where(ok & crosses & (d <= radius), d, BIG)
+    return _topm_distinct(pl, d, sg, s, xy, M)

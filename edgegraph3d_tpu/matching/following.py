@@ -1,0 +1,233 @@
+"""PLG following: sweeping 3D edge chains from seed matches.
+
+TPU-native redesign of the reference's recursive chain following
+(reference: src/edgegraph3d/matching/plg_matching/plg_matching.cpp):
+
+  * one step = advance 10 px on the driving view, intersect the epipolar
+    lines on the other tuple views within [5, 20] px of their current
+    points, triangulate + Gauss-Newton, accept at MSE < 9
+    (parity: compatible(), :633-759; follow distances plg_matching.hpp:39-41)
+  * direction resolution tries all 4 (other-view direction) combos and
+    keeps the first that yields a valid first step
+    (parity: follow_plgs_from_match3/4 combo testing, :142-203)
+  * the unbounded `while(compatible(...))` walk (:765-795) becomes a
+    `lax.scan` with `max_steps` and an active mask; termination flags
+    mirror the reference's (extreme reached, quasi-parallel, bounded
+    distance violated, triangulation failed)
+
+Everything is batched over seeds: a follow sweep processes [S] seeds x
+3 tuple views at once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from edgegraph3d_tpu.ops import polyline_ops as po
+from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched, \
+    triangulate_dlt
+
+
+class SeedTuple(NamedTuple):
+    """A validated 3-view seed (all arrays batched over seeds [S])."""
+    cams: jnp.ndarray      # [S,3] int32 camera ids (0 = driving view)
+    pl_id: jnp.ndarray     # [S,3] int32 polyline ids
+    seg: jnp.ndarray       # [S,3] int32
+    t: jnp.ndarray         # [S,3]
+    xy: jnp.ndarray        # [S,3,2]
+    X: jnp.ndarray         # [S,3] seed 3D point
+    valid: jnp.ndarray     # [S]
+
+
+class FollowResult(NamedTuple):
+    X: jnp.ndarray         # [S,T,3] swept 3D points
+    obs_xy: jnp.ndarray    # [S,T,3,2] per-tuple-view 2D points
+    valid: jnp.ndarray     # [S,T]
+    n_steps: jnp.ndarray   # [S] accepted steps
+
+
+def _triangulate_tuple(P_cams: jnp.ndarray, xy: jnp.ndarray,
+                       accept_mse: float, gn_iters: int):
+    """P_cams [S,3,3,4], xy [S,3,2] -> (X [S,3], ok [S])."""
+    mask = jnp.ones(xy.shape[:2], dtype=bool)
+    X0 = triangulate_dlt(P_cams, xy, mask)
+    X, mse, ok = gauss_newton_batched(P_cams, xy, mask, X0,
+                                      max_iters=gn_iters,
+                                      accept_mse=accept_mse)
+    return X, ok
+
+
+def _one_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
+              P_cams, F_pairs, cfg):
+    """One following step for all seeds.
+
+    coords [S,3,L,2], lengths [S,3], plp_* [S,3(,2)], dirs [S,3],
+    P_cams [S,3,3,4], F_pairs [S,2,3,3] (driving -> other view F).
+    Returns (new plp_*, obs_xy, X, ok).
+    """
+    S = coords.shape[0]
+    # 1. advance the driving view by the follow distance
+    adv = jax.vmap(po.advance_by_distance, in_axes=(0, 0, 0, 0, None))(
+        coords[:, 0], lengths[:, 0],
+        po.PLPoint(seg=plp_seg[:, 0], t=plp_t[:, 0], xy=plp_xy[:, 0]),
+        dirs[:, 0], cfg.follow_first_image_dist_px)
+    drive_ok = adv.found
+
+    # 2. epipolar lines of the new driving point into the other views
+    xh = jnp.concatenate([adv.plp.xy, jnp.ones((S, 1), coords.dtype)], axis=1)
+    lines = jnp.einsum("skij,sj->ski", F_pairs, xh)
+    ln = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)
+    lines = lines / jnp.maximum(ln, 1e-20)[..., None]
+
+    # 3. bounded epipolar intersection on each other view
+    def isect(k):
+        return jax.vmap(po.next_intersection_bounded,
+                        in_axes=(0, 0, 0, 0, 0, None, None, None, None))(
+            coords[:, k + 1], lengths[:, k + 1],
+            po.PLPoint(seg=plp_seg[:, k + 1], t=plp_t[:, k + 1],
+                       xy=plp_xy[:, k + 1]),
+            dirs[:, k + 1], lines[:, k],
+            cfg.follow_min_dist_px, cfg.follow_max_dist_px,
+            cfg.quasiparallel_cos, cfg.quasiparallel_dist_px)
+
+    r1 = isect(0)
+    r2 = isect(1)
+
+    new_xy = jnp.stack([adv.plp.xy, r1.plp.xy, r2.plp.xy], axis=1)
+    new_seg = jnp.stack([adv.plp.seg, r1.plp.seg, r2.plp.seg], axis=1)
+    new_t = jnp.stack([adv.plp.t, r1.plp.t, r2.plp.t], axis=1)
+
+    # 4. triangulate the new tuple
+    X, tri_ok = _triangulate_tuple(P_cams, new_xy, cfg.match_gn_max_mse,
+                                   cfg.gn_max_iters)
+    ok = drive_ok & r1.found & r2.found & tri_ok
+    return new_seg, new_t, new_xy, X, ok
+
+
+_PERMS = jnp.asarray([[0, 1, 2], [1, 0, 2], [2, 0, 1]], dtype=jnp.int32)
+_COMBOS = jnp.asarray([[1, 1], [1, -1], [-1, 1], [-1, -1]], dtype=jnp.int32)
+
+
+def _permute_tuple(arrs, perm):
+    """Reorder the 3-view axis (axis=1) of each array by perm [S,3]."""
+    def p(a):
+        idx = perm.reshape(perm.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, idx, axis=1)
+    return [p(a) for a in arrs]
+
+
+def resolve_configuration(seeds: SeedTuple, plg_coords, plg_length,
+                          P_mats, F_table, drive_dir: int, cfg):
+    """Pick (driving view, other-view directions): try all 3 driving
+    roles x 4 direction combos, keep the first whose first step is valid.
+
+    Parity: the reference tries 4 direction combos
+    (follow_plgs_from_match3/4, plg_matching.cpp:142-203) and retries
+    with a different first view on parallel-epipolar failure (:375-450);
+    here both fallbacks are one batched 12-config test.
+    Returns (perm [S,3], dirs [S,3], ok [S]).
+    """
+    S = seeds.cams.shape[0]
+
+    def try_cfg(carry, dperm_combo):
+        d, c1, c2 = dperm_combo
+        perm = jnp.broadcast_to(_PERMS[d], (S, 3))
+        cams, seg, t, xyv = _permute_tuple(
+            [seeds.cams, seeds.seg[..., None], seeds.t[..., None],
+             seeds.xy], perm)
+        seg = seg[..., 0]
+        t = t[..., 0]
+        pl = _permute_tuple([seeds.pl_id[..., None]], perm)[0][..., 0]
+        coords = plg_coords[cams, pl]
+        lengths = plg_length[cams, pl]
+        P_cams = P_mats[cams]
+        F_pairs = F_table[cams[:, 0:1], cams[:, 1:]]
+        dirs = jnp.stack([jnp.full((S,), drive_dir, jnp.int32),
+                          jnp.full((S,), c1, jnp.int32),
+                          jnp.full((S,), c2, jnp.int32)], axis=1)
+        _, _, _, _, ok = _one_step(coords, lengths, seg, t, xyv, dirs,
+                                   P_cams, F_pairs, cfg)
+        return carry, ok
+
+    configs = jnp.asarray([(d, int(c[0]), int(c[1]))
+                           for d in range(3) for c in np.asarray(_COMBOS)],
+                          dtype=jnp.int32)
+    _, oks = jax.lax.scan(try_cfg, None, configs)      # [12,S]
+    any_ok = jnp.any(oks, axis=0)
+    first = jnp.argmax(oks, axis=0)                    # [S]
+    chosen = configs[first]                            # [S,3]
+    perm = _PERMS[chosen[:, 0]]
+    dirs = jnp.stack([jnp.full((S,), drive_dir, jnp.int32),
+                      chosen[:, 1], chosen[:, 2]], axis=1)
+    return perm, dirs, any_ok
+
+
+def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
+                 plg_length: jnp.ndarray, P_mats: jnp.ndarray,
+                 F_table: jnp.ndarray, drive_dir: int, cfg,
+                 max_steps: int) -> FollowResult:
+    """Sweep all seeds in one direction of the driving view.
+
+    plg_coords [V,P,L,2], plg_length [V,P], P_mats [V,3,4],
+    F_table [V,V,3,3].  The emitted obs_xy follow the ORIGINAL tuple
+    view order of `seeds.cams`.
+    """
+    S = seeds.cams.shape[0]
+    perm, dirs, dir_ok = resolve_configuration(
+        seeds, plg_coords, plg_length, P_mats, F_table, drive_dir, cfg)
+
+    # permute each seed's tuple so the chosen driving view is index 0
+    cams, seg0, t0, xy0 = _permute_tuple(
+        [seeds.cams, seeds.seg[..., None], seeds.t[..., None], seeds.xy],
+        perm)
+    seg0 = seg0[..., 0]
+    t0 = t0[..., 0]
+    pl = _permute_tuple([seeds.pl_id[..., None]], perm)[0][..., 0]
+    seeds = SeedTuple(cams=cams, pl_id=pl, seg=seg0, t=t0, xy=xy0,
+                      X=seeds.X, valid=seeds.valid)
+    inv_perm = jnp.argsort(perm, axis=1)
+
+    # pre-gather each seed's tuple polylines (fixed during following)
+    coords = plg_coords[seeds.cams, seeds.pl_id]        # [S,3,L,2]
+    lengths = plg_length[seeds.cams, seeds.pl_id]       # [S,3]
+    P_cams = P_mats[seeds.cams]                         # [S,3,3,4]
+    F_pairs = F_table[seeds.cams[:, 0:1], seeds.cams[:, 1:]]  # [S,2,3,3]
+
+    def step(carry, _):
+        seg, t, xy, active = carry
+        nseg, nt, nxy, X, ok = _one_step(coords, lengths, seg, t, xy, dirs,
+                                         P_cams, F_pairs, cfg)
+        alive = active & ok
+        seg = jnp.where(alive[:, None], nseg, seg)
+        t = jnp.where(alive[:, None], nt, t)
+        xy = jnp.where(alive[:, None, None], nxy, xy)
+        return (seg, t, xy, alive), (X, nxy, alive)
+
+    init = (seeds.seg, seeds.t, seeds.xy, seeds.valid & dir_ok)
+    _, (Xs, obs, alive) = jax.lax.scan(step, init, None, length=max_steps)
+    # [T,S,...] -> [S,T,...]
+    Xs = jnp.moveaxis(Xs, 0, 1)
+    obs = jnp.moveaxis(obs, 0, 1)
+    alive = jnp.moveaxis(alive, 0, 1)
+    # restore the caller's tuple-view order for the emitted observations
+    obs = jnp.take_along_axis(obs, inv_perm[:, None, :, None], axis=2)
+    return FollowResult(X=Xs, obs_xy=obs, valid=alive,
+                        n_steps=jnp.sum(alive, axis=1))
+
+
+def follow_seeds_bidirectional(seeds: SeedTuple, plg_coords, plg_length,
+                               P_mats, F_table, cfg, max_steps: int):
+    """Both driving directions (parity: follow_plgs_from_match* sweeping
+    both ways, plg_matching.cpp:205-265).  Returns (fwd, bwd) results and
+    the per-seed total step count used for the >=2-step seed validation
+    (parity: compatible_new_plg_point, plg_matching.cpp:1276-1287)."""
+    fwd = follow_seeds(seeds, plg_coords, plg_length, P_mats, F_table,
+                       +1, cfg, max_steps)
+    bwd = follow_seeds(seeds, plg_coords, plg_length, P_mats, F_table,
+                       -1, cfg, max_steps)
+    total = fwd.n_steps + bwd.n_steps
+    return fwd, bwd, total

@@ -1,0 +1,69 @@
+"""End-to-end stage-3 reconstruction on a synthetic scene
+(SURVEY.md §7 step 4: the minimum end-to-end slice)."""
+
+import numpy as np
+import pytest
+
+from edgegraph3d_tpu.config import EdgeGraphConfig
+from edgegraph3d_tpu.core import synthetic
+from edgegraph3d_tpu.matching import refpoints
+from edgegraph3d_tpu.plgs import extraction
+
+
+@pytest.fixture(scope="module")
+def recon():
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                    max_polyline_len=128,
+                                    max_follow_steps=64)
+    sfmd, edge_imgs, curves = synthetic.make_scene(
+        n_cams=8, n_refpoints_per_curve=12,
+        width=320, height_px=240, focal=400.0, seed=3)
+    stack = extraction.extract_plgs(edge_imgs, cfg)
+    ctx = refpoints.build_context(sfmd, stack, cfg, cell=10.0)
+    pts = refpoints.reconstruct_from_refpoints(
+        sfmd, ctx, refpoint_chunk=64, seed_chunk=512,
+        max_starting_views=2)
+    return sfmd, curves, pts
+
+
+def _dist_to_curves(X, curves):
+    cc = np.concatenate(curves, axis=0)
+    d = np.sqrt(((X[:, None] - cc[None]) ** 2).sum(-1)).min(axis=1)
+    return d
+
+
+def test_produces_points(recon):
+    _, _, pts = recon
+    assert len(pts.X) > 50
+
+
+def test_points_lie_on_curves(recon):
+    sfmd, curves, pts = recon
+    d = _dist_to_curves(pts.X, curves)
+    # scene scale ~1.5; curve sampling spacing ~0.02
+    assert np.median(d) < 0.02
+    assert np.quantile(d, 0.9) < 0.05
+
+
+def test_observations_reproject(recon):
+    """Attached 2D observations agree with the 3D points' projections."""
+    sfmd, _, pts = recon
+    P = sfmd.P
+    Xh = np.concatenate([pts.X, np.ones((len(pts.X), 1))], axis=1)
+    proj = np.einsum("vij,nj->nvi", P, Xh)
+    proj_xy = proj[..., :2] / proj[..., 2:3]
+    err = np.linalg.norm(proj_xy - pts.obs_xy, axis=-1)
+    err = err[pts.obs_mask]
+    assert np.median(err) < 1.5
+    assert (err < 5.0).mean() > 0.9
+
+
+def test_min_three_observations(recon):
+    _, _, pts = recon
+    assert (pts.obs_mask.sum(axis=1) >= 3).all()
+
+
+def test_chains_extend_beyond_refpoints(recon):
+    """Following sweeps out many more points than the seed refpoints."""
+    sfmd, _, pts = recon
+    assert len(pts.X) > sfmd.n_points * 0.5
