@@ -1,0 +1,45 @@
+"""EdgeGraph3D CLI (parity: src/edgegraph3d/edge_graph_3d.cpp:37-60 and
+the parameter contract of io/input/edge_graph_3d_input_params.cpp:65-118).
+
+Usage:
+    python -m edgegraph3d_tpu.cli.edge_graph_3d [-i] \
+        <images_folder> <edges_folder> <working_folder> \
+        <input_sfm_data.json> <output.json>
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="EdgeGraph3D",
+        description="TPU-native multi-view 3D edge reconstruction")
+    ap.add_argument("-i", dest="debug_images", action="store_true",
+                    help="output debug images")
+    ap.add_argument("images_folder")
+    ap.add_argument("edges_folder")
+    ap.add_argument("working_folder")
+    ap.add_argument("sfm_data_file")
+    ap.add_argument("output_json")
+    ap.add_argument("--max-starting-views", type=int, default=None,
+                    help="limit starting cams per refpoint (speed knob)")
+    args = ap.parse_args(argv)
+
+    from edgegraph3d_tpu.pipeline import edge_matching
+    out = edge_matching(args.images_folder, args.edges_folder,
+                        args.working_folder, args.sfm_data_file,
+                        args.output_json,
+                        max_starting_views=args.max_starting_views)
+    if args.debug_images:
+        import os
+        from edgegraph3d_tpu.utils.drawing import save_debug_images
+        save_debug_images(out, args.working_folder)
+    print(f"Wrote {out.n_points} points to {args.output_json}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

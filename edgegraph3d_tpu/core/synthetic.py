@@ -30,13 +30,21 @@ def look_at_rotation(center: np.ndarray, target: np.ndarray,
 
 def ring_cameras(n_cams: int, radius: float = 4.0, height: float = 1.5,
                  focal: float = 800.0, width: int = 640, height_px: int = 480,
-                 target=(0.0, 0.0, 0.0)) -> SfMData:
-    """Cameras evenly spaced on a ring, all looking at `target`."""
+                 target=(0.0, 0.0, 0.0),
+                 height_variation: float = 0.8) -> SfMData:
+    """Cameras evenly spaced on a ring, all looking at `target`.
+
+    Heights oscillate by `height_variation` so epipolar lines between
+    neighboring views are not mutually parallel (a flat ring is an
+    epipolar-degenerate rig for horizontal scene curves; real capture
+    rigs like DTU's robot arm vary elevation)."""
     target = np.asarray(target, dtype=np.float64)
     angles = np.linspace(0.0, 2.0 * np.pi, n_cams, endpoint=False)
+    heights = height + height_variation * np.sin(
+        np.arange(n_cams) * 2.4)        # irrational-step stagger
     centers = np.stack(
-        [radius * np.cos(angles), radius * np.sin(angles),
-         np.full(n_cams, height)], axis=1)
+        [radius * np.cos(angles), radius * np.sin(angles), heights],
+        axis=1)
     Rs = np.stack([look_at_rotation(c, target) for c in centers])
     ts = -np.einsum("cij,cj->ci", Rs, centers)
     K = np.array([[focal, 0.0, width / 2.0],
@@ -149,6 +157,34 @@ def render_edge_images(sfmd: SfMData, curves: list[np.ndarray]) -> np.ndarray:
                 if len(seg) >= 2:
                     draw_polyline(imgs[c], xy[c, seg])
     return imgs
+
+
+def make_cube_scene(n_cams: int = 8, side: float = 1.2,
+                    n_refpoints_per_edge: int = 8, seed: int = 0,
+                    **cam_kw):
+    """Cube-edge fixture: long straight polylines that cross only at
+    corners — the well-conditioned case for chain following."""
+    rng = np.random.default_rng(seed)
+    sfmd = ring_cameras(n_cams, **cam_kw)
+    curves = cube_edges(side, 96)
+    ref_X = np.concatenate([
+        c[np.sort(rng.choice(len(c), min(n_refpoints_per_edge, len(c)),
+                             replace=False))] for c in curves])
+    xy, front = project_points(sfmd, ref_X)
+    inb = in_image(sfmd, xy, margin=1.0)
+    vis = front & inb
+    obs_cam, obs_xy, keep = [], [], []
+    for p in range(len(ref_X)):
+        cams = np.flatnonzero(vis[:, p])
+        if len(cams) >= 3:
+            obs_cam.append(cams.astype(np.int32))
+            obs_xy.append(xy[cams, p])
+            keep.append(p)
+    sfmd.points = ref_X[keep]
+    sfmd.obs_cam = obs_cam
+    sfmd.obs_xy = obs_xy
+    edge_imgs = render_edge_images(sfmd, curves)
+    return sfmd, edge_imgs, curves
 
 
 def make_scene(

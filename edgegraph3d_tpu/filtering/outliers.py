@@ -1,0 +1,102 @@
+"""Outlier filtering: batched Gauss-Newton + observation-count threshold.
+
+TPU-native replacement for the reference's filter stage
+(reference: src/edgegraph3d/filtering/outliers_filtering.cpp:14-114 and
+src/edgegraph3d/filtering/gauss_newton.cpp:83-178):
+
+  * every 3D point is re-optimized over all its observations
+    (<=30 f32 GN iterations); accepted if final MSE < gn_max_mse
+    (default 2.25 px^2, gauss_newton.hpp:18) — one vmapped batch, the
+    reference's per-point loop becomes the batch axis
+  * accepted points take their optimized coordinates
+  * edge-points (id >= first_edgepoint) additionally need
+    n_obs > max(3, median_ray_bucket/2 - 1) observations, where
+    median_ray_bucket mirrors compute_ray_stats' bucket-index median
+    (outliers_filtering.cpp:14-35, 52-61)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from edgegraph3d_tpu.core.sfm import SfMData, pack_observations, \
+    remove_outliers
+from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
+
+INVALID_FORCED_MIN_FILTER = -1
+
+
+def gauss_newton_filter(sfmd: SfMData, gn_max_mse: float = 2.25,
+                        max_iters: int = 30, chunk: int = 8192):
+    """Re-optimize all points; returns (new_points [N,3], inliers [N]).
+
+    Parity: gaussNewtonFiltering (gauss_newton.cpp:136-178) — f32 GN,
+    accepted points updated in place."""
+    N = sfmd.n_points
+    if N == 0:
+        return sfmd.points.copy(), np.zeros(0, dtype=bool)
+    max_obs = max(int(max(len(c) for c in sfmd.obs_cam)), 2)
+    packed = pack_observations(sfmd.obs_cam, sfmd.obs_xy, max_obs=max_obs,
+                               dtype=np.float32)
+    P = sfmd.P.astype(np.float32)
+    new_pts = sfmd.points.copy()
+    inliers = np.zeros(N, dtype=bool)
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        P_obs = P[np.clip(packed.cam_idx[lo:hi], 0, None)]
+        X, mse, ok = gauss_newton_batched(
+            jnp.asarray(P_obs), jnp.asarray(packed.xy[lo:hi]),
+            jnp.asarray(packed.mask[lo:hi]),
+            jnp.asarray(sfmd.points[lo:hi].astype(np.float32)),
+            max_iters=max_iters, accept_mse=gn_max_mse)
+        ok = np.array(ok)
+        X = np.array(X)
+        inliers[lo:hi] = ok
+        sel = np.flatnonzero(ok)
+        new_pts[lo + sel] = X[sel]
+    return new_pts, inliers
+
+
+def compute_ray_stats(sfmd: SfMData, inliers: np.ndarray):
+    """(average_rays, median_ray_bucket) over inlier points (parity:
+    compute_ray_stats, outliers_filtering.cpp:14-35 — the 'median' is
+    the bucket index, i.e. n_rays - 1)."""
+    counts = np.asarray([len(sfmd.obs_cam[i]) for i in range(sfmd.n_points)])
+    sel = counts[np.asarray(inliers, dtype=bool)]
+    if len(sel) == 0:
+        return 0.0, 0
+    avg = float(sel.mean())
+    dist = np.bincount(sel - 1, minlength=sfmd.n_cameras)
+    half = len(sel) // 2
+    cum = np.cumsum(dist)
+    median_bucket = int(np.argmax(cum >= half))
+    return avg, median_bucket
+
+
+def compute_inliers(sfmd: SfMData, first_edgepoint: int,
+                    gn_max_mse: float = 2.25,
+                    forced_min_filter: int = INVALID_FORCED_MIN_FILTER):
+    """Parity: compute_inliers (outliers_filtering.cpp:37-64).
+    Returns (new_points, inliers)."""
+    new_pts, inliers = gauss_newton_filter(sfmd, gn_max_mse)
+    _, median_bucket = compute_ray_stats(sfmd, inliers)
+    view_filter = max(3, median_bucket // 2 - 1)
+    if forced_min_filter > INVALID_FORCED_MIN_FILTER:
+        view_filter = forced_min_filter
+    for i in range(first_edgepoint, sfmd.n_points):
+        inliers[i] = inliers[i] and len(sfmd.obs_cam[i]) > view_filter
+    return new_pts, inliers
+
+
+def filter_sfm_data(sfmd: SfMData, first_edgepoint: int,
+                    gn_max_mse: float = 2.25,
+                    forced_min_filter: int = INVALID_FORCED_MIN_FILTER
+                    ) -> SfMData:
+    """Parity: filter() (outliers_filtering.cpp:94-114) — GN + view-count
+    inliers, points updated to optimized coords, scene compacted."""
+    new_pts, inliers = compute_inliers(sfmd, first_edgepoint, gn_max_mse,
+                                       forced_min_filter)
+    out = sfmd.copy()
+    out.points = new_pts
+    return remove_outliers(out, inliers)

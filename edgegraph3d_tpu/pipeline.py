@@ -1,0 +1,132 @@
+"""Full edge-matching pipeline orchestration.
+
+TPU-native equivalent of the reference's `edge_matching`
+(reference: src/edgegraph3d/edge_matcher.cpp:61-146) and the pipeline
+drivers (src/edgegraph3d/matching/plg_matching/pipelines.cpp:160-248):
+
+    load SfM JSON + edge images
+    -> extract polyline graphs (plgs/extraction.py)
+    -> build device context (grids, F-table)
+    -> stage 3: reconstruction from refpoints (matching/refpoints.py)
+    -> 2D density filter (filtering/density.py)
+    -> append edge-points, write before_filtering.json
+    -> GN + view-count outlier filter (filtering/outliers.py)
+    -> write output JSON
+
+Stages 1-2 (polyline-similarity and closeness matching) are driven from
+matching/polyline_stages.py when enabled.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from edgegraph3d_tpu.config import DEFAULT_CONFIG, EdgeGraphConfig
+from edgegraph3d_tpu.core import sfm as sfm_io
+from edgegraph3d_tpu.filtering.density import density_filter
+from edgegraph3d_tpu.filtering.outliers import filter_sfm_data
+from edgegraph3d_tpu.io.images import load_edge_images
+from edgegraph3d_tpu.matching import refpoints as refpoints_mod
+from edgegraph3d_tpu.plgs.extraction import extract_plgs
+
+
+@dataclass
+class PipelineStats:
+    """Wall-clock + count bookkeeping (parity: print_final_stats,
+    pipelines.cpp:178-199)."""
+    timings: dict = field(default_factory=dict)
+    counts: dict = field(default_factory=dict)
+
+    def log(self, name: str, t0: float, count: int | None = None):
+        self.timings[name] = time.time() - t0
+        if count is not None:
+            self.counts[name] = count
+
+    def report(self) -> str:
+        lines = ["=== edgegraph3d_tpu stats ==="]
+        for k, v in self.timings.items():
+            c = f"  ({self.counts[k]})" if k in self.counts else ""
+            lines.append(f"  {k}: {v:.2f}s{c}")
+        return "\n".join(lines)
+
+
+def edge_points_to_obs_lists(pts: refpoints_mod.EdgePoints):
+    """EdgePoints tensors -> ragged per-point obs lists for SfMData."""
+    obs_cam, obs_xy = [], []
+    for i in range(len(pts.X)):
+        cams = np.flatnonzero(pts.obs_mask[i]).astype(np.int32)
+        obs_cam.append(cams)
+        obs_xy.append(pts.obs_xy[i][cams].astype(np.float64))
+    return obs_cam, obs_xy
+
+
+def run_pipeline(
+    sfmd: sfm_io.SfMData,
+    edge_images: np.ndarray,
+    config: EdgeGraphConfig = DEFAULT_CONFIG,
+    working_folder: str | None = None,
+    max_starting_views: int | None = None,
+    stats: PipelineStats | None = None,
+) -> sfm_io.SfMData:
+    """In-memory pipeline: returns the filtered, edge-augmented scene."""
+    stats = stats if stats is not None else PipelineStats()
+
+    t0 = time.time()
+    stack = extract_plgs(edge_images, config)
+    stats.log("plg_extraction", t0, int((stack.length >= 2).sum()))
+
+    t0 = time.time()
+    ctx = refpoints_mod.build_context(sfmd, stack, config)
+    stats.log("context(F+grids)", t0)
+
+    t0 = time.time()
+    pts = refpoints_mod.reconstruct_from_refpoints(
+        sfmd, ctx, max_starting_views=max_starting_views)
+    stats.log("refpoint_matching", t0, len(pts.X))
+
+    t0 = time.time()
+    keep = density_filter(pts.obs_xy, pts.obs_mask,
+                          int(sfmd.widths.max()), int(sfmd.heights.max()),
+                          cell=config.density_cell_size_px)
+    pts = refpoints_mod.EdgePoints(
+        X=pts.X[keep], obs_xy=pts.obs_xy[keep], obs_mask=pts.obs_mask[keep],
+        seed_refpoint=pts.seed_refpoint[keep])
+    stats.log("density_filter", t0, len(pts.X))
+
+    first_edgepoint = sfmd.n_points
+    obs_cam, obs_xy = edge_points_to_obs_lists(pts)
+    augmented = sfm_io.add_edge_points(sfmd, pts.X, obs_cam, obs_xy)
+
+    if working_folder:
+        os.makedirs(working_folder, exist_ok=True)
+        sfm_io.write_sfm_data(
+            augmented, os.path.join(working_folder, "before_filtering.json"))
+
+    t0 = time.time()
+    filtered = filter_sfm_data(augmented, first_edgepoint,
+                               gn_max_mse=config.filter_gn_max_mse)
+    stats.log("outlier_filter", t0, filtered.n_points)
+    return filtered
+
+
+def edge_matching(images_folder: str, edges_folder: str,
+                  working_folder: str, sfm_data_file: str,
+                  output_json: str,
+                  config: EdgeGraphConfig = DEFAULT_CONFIG,
+                  max_starting_views: int | None = None) -> sfm_io.SfMData:
+    """File-level entry (parity: edge_matching, edge_matcher.cpp:61-146).
+
+    `images_folder` is accepted for interface parity (RGB images are only
+    needed for debug drawing / colored PLY output)."""
+    stats = PipelineStats()
+    sfmd = sfm_io.read_sfm_data(sfm_data_file)
+    edge_images = load_edge_images(edges_folder, sfmd.image_paths)
+    out = run_pipeline(sfmd, edge_images, config, working_folder,
+                       max_starting_views, stats)
+    sfm_io.write_sfm_data(out, output_json)
+    print(stats.report())
+    return out
