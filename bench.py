@@ -1,0 +1,112 @@
+"""Benchmark harness: dtu-scale synthetic reconstruction throughput.
+
+Prints ONE JSON line:
+    {"metric": "views_per_s", "value": N, "unit": "views/s",
+     "vs_baseline": M}
+
+Workload: a dtu006-like synthetic scene — 1600x1200 binary edge images
+rendered from 3D cube+curve geometry, ring cameras with varied heights,
+~600 SfM refpoints — run through the full pipeline (PLG extraction,
+grids/F-matrices, stage-3 refpoint matching with chain following,
+density + GN outlier filters).  dtu006's own input.json is stripped
+from the reference mirror, so this synthetic workload is the standing
+proxy; its image size, view count and refpoint density mirror the real
+example (reference: example/dtu006 — 49 views, 1600x1200, 6268
+refpoints; scaled by --views/--refpoints).
+
+`vs_baseline` is the speedup of this run against the SAME code executed
+on one CPU host (`python bench.py --probe-cpu` measures it; the
+CPU_BASELINE_VIEWS_PER_S constant below records the measurement on this
+machine).  The BASELINE.md target is >= 10x the reference's CPU
+wall-clock on one v5e chip; the reference binary itself is not runnable
+here (no dtu input.json in the mirror), so same-code-on-CPU is the
+operative baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# measured with `python bench.py --probe-cpu` on this host (see module
+# docstring); update when the workload or pipeline changes materially.
+# 2026-08-17: 0.1456 views/s (55.0s for 8 views @1600x1200, 723 pts).
+CPU_BASELINE_VIEWS_PER_S = 0.1456
+
+
+def build_workload(n_views: int, width: int, height: int,
+                   n_ref_per_edge: int, seed: int = 0):
+    from edgegraph3d_tpu.core import synthetic
+    focal = 2.2 * width / 1.6
+    return synthetic.make_cube_scene(
+        n_cams=n_views, n_refpoints_per_edge=n_ref_per_edge,
+        width=width, height_px=height, focal=focal, seed=seed)
+
+
+def run(n_views: int, width: int, height: int, n_ref: int,
+        max_starting_views: int | None, verbose: bool = True):
+    from edgegraph3d_tpu.config import EdgeGraphConfig
+    from edgegraph3d_tpu.pipeline import PipelineStats, run_pipeline
+
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=2048,
+                                    max_polyline_len=256,
+                                    max_follow_steps=128)
+    sfmd, edge_imgs, _ = build_workload(n_views, width, height, n_ref)
+    stats = PipelineStats()
+    t0 = time.time()
+    out = run_pipeline(sfmd, edge_imgs, cfg,
+                       max_starting_views=max_starting_views, stats=stats)
+    wall = time.time() - t0
+    if verbose:
+        print(stats.report(), file=sys.stderr)
+        print(f"total: {wall:.2f}s, edge-points: "
+              f"{out.n_points - sfmd.n_points}", file=sys.stderr)
+    return wall, out.n_points - sfmd.n_points
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--width", type=int, default=1600)
+    ap.add_argument("--height", type=int, default=1200)
+    ap.add_argument("--refpoints-per-edge", type=int, default=48)
+    ap.add_argument("--max-starting-views", type=int, default=2)
+    ap.add_argument("--probe-cpu", action="store_true",
+                    help="force CPU backend and print raw views/s")
+    args = ap.parse_args()
+
+    import jax
+    # persistent compile cache: the tunneled TPU pays 30-60s per cold
+    # compile; the cache makes driver/bench runs steady-state
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.probe_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    wall, n_pts = run(args.views, args.width, args.height,
+                      args.refpoints_per_edge, args.max_starting_views)
+    views_per_s = args.views / wall
+
+    if args.probe_cpu:
+        print(f"CPU probe: {views_per_s:.4f} views/s "
+              f"({wall:.1f}s, {n_pts} pts)", file=sys.stderr)
+        print(json.dumps({"metric": "views_per_s_cpu",
+                          "value": round(views_per_s, 4),
+                          "unit": "views/s", "vs_baseline": 1.0}))
+        return
+
+    baseline = CPU_BASELINE_VIEWS_PER_S
+    vs = round(views_per_s / baseline, 3) if baseline else 1.0
+    print(json.dumps({"metric": "views_per_s", "value": round(views_per_s, 4),
+                      "unit": "views/s", "vs_baseline": vs}))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,10 @@ class EdgeGraphConfig:
     max_follow_steps: int = 256
     #: GN acceptance during matching (ref: triangulation.cpp:168, MSE < 9 px^2).
     match_gn_max_mse: float = 9.0
+    #: GN iterations during following steps: warm-started from the
+    #: previous chain point, so few iterations reach the same fixed
+    #: point as the reference's 30 cold-start iterations.
+    follow_gn_iters: int = 8
     #: GN iterations (ref: triangulation.cpp:122 / gauss_newton.cpp:97, 30).
     gn_max_iters: int = 30
     #: GN convergence epsilon (ref: triangulation.cpp:150, 5e-7).

@@ -48,13 +48,20 @@ class FollowResult(NamedTuple):
     obs_xy: jnp.ndarray    # [S,T,3,2] per-tuple-view 2D points
     valid: jnp.ndarray     # [S,T]
     n_steps: jnp.ndarray   # [S] accepted steps
+    final_seg: jnp.ndarray  # [S,3] last accepted position (original order)
+    final_t: jnp.ndarray    # [S,3]
 
 
 def _triangulate_tuple(P_cams: jnp.ndarray, xy: jnp.ndarray,
-                       accept_mse: float, gn_iters: int):
-    """P_cams [S,3,3,4], xy [S,3,2] -> (X [S,3], ok [S])."""
+                       accept_mse: float, gn_iters: int,
+                       X_prev: jnp.ndarray | None = None):
+    """P_cams [S,3,3,4], xy [S,3,2] -> (X [S,3], ok [S]).
+
+    With `X_prev` (the previous chain point, ~10 px of image motion
+    away) GN is warm-started and the DLT init is skipped — same fixed
+    point, far fewer sequential iterations per following step."""
     mask = jnp.ones(xy.shape[:2], dtype=bool)
-    X0 = triangulate_dlt(P_cams, xy, mask)
+    X0 = triangulate_dlt(P_cams, xy, mask) if X_prev is None else X_prev
     X, mse, ok = gauss_newton_batched(P_cams, xy, mask, X0,
                                       max_iters=gn_iters,
                                       accept_mse=accept_mse)
@@ -62,11 +69,12 @@ def _triangulate_tuple(P_cams: jnp.ndarray, xy: jnp.ndarray,
 
 
 def _one_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
-              P_cams, F_pairs, cfg):
+              P_cams, F_pairs, cfg, X_prev=None):
     """One following step for all seeds.
 
     coords [S,3,L,2], lengths [S,3], plp_* [S,3(,2)], dirs [S,3],
-    P_cams [S,3,3,4], F_pairs [S,2,3,3] (driving -> other view F).
+    P_cams [S,3,3,4], F_pairs [S,2,3,3] (driving -> other view F),
+    X_prev [S,3] previous chain point for GN warm start.
     Returns (new plp_*, obs_xy, X, ok).
     """
     S = coords.shape[0]
@@ -102,8 +110,9 @@ def _one_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
     new_t = jnp.stack([adv.plp.t, r1.plp.t, r2.plp.t], axis=1)
 
     # 4. triangulate the new tuple
+    gn_iters = cfg.follow_gn_iters if X_prev is not None else cfg.gn_max_iters
     X, tri_ok = _triangulate_tuple(P_cams, new_xy, cfg.match_gn_max_mse,
-                                   cfg.gn_max_iters)
+                                   gn_iters, X_prev)
     ok = drive_ok & r1.found & r2.found & tri_ok
     return new_seg, new_t, new_xy, X, ok
 
@@ -121,7 +130,7 @@ def _permute_tuple(arrs, perm):
 
 
 def resolve_configuration(seeds: SeedTuple, plg_coords, plg_length,
-                          P_mats, F_table, drive_dir: int, cfg):
+                          P_mats, F_table, drive_dir, cfg):
     """Pick (driving view, other-view directions): try all 3 driving
     roles x 4 direction combos, keep the first whose first step is valid.
 
@@ -146,29 +155,29 @@ def resolve_configuration(seeds: SeedTuple, plg_coords, plg_length,
         lengths = plg_length[cams, pl]
         P_cams = P_mats[cams]
         F_pairs = F_table[cams[:, 0:1], cams[:, 1:]]
-        dirs = jnp.stack([jnp.full((S,), drive_dir, jnp.int32),
+        dirs = jnp.stack([jnp.broadcast_to(drive_dir, (S,)).astype(jnp.int32),
                           jnp.full((S,), c1, jnp.int32),
                           jnp.full((S,), c2, jnp.int32)], axis=1)
         _, _, _, _, ok = _one_step(coords, lengths, seg, t, xyv, dirs,
-                                   P_cams, F_pairs, cfg)
+                                   P_cams, F_pairs, cfg, X_prev=seeds.X)
         return carry, ok
 
     configs = jnp.asarray([(d, int(c[0]), int(c[1]))
                            for d in range(3) for c in np.asarray(_COMBOS)],
                           dtype=jnp.int32)
-    _, oks = jax.lax.scan(try_cfg, None, configs)      # [12,S]
+    oks = jax.vmap(lambda c: try_cfg(None, c)[1])(configs)   # [12,S]
     any_ok = jnp.any(oks, axis=0)
     first = jnp.argmax(oks, axis=0)                    # [S]
     chosen = configs[first]                            # [S,3]
     perm = _PERMS[chosen[:, 0]]
-    dirs = jnp.stack([jnp.full((S,), drive_dir, jnp.int32),
+    dirs = jnp.stack([jnp.broadcast_to(drive_dir, (S,)).astype(jnp.int32),
                       chosen[:, 1], chosen[:, 2]], axis=1)
     return perm, dirs, any_ok
 
 
 def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
                  plg_length: jnp.ndarray, P_mats: jnp.ndarray,
-                 F_table: jnp.ndarray, drive_dir: int, cfg,
+                 F_table: jnp.ndarray, drive_dir, cfg,
                  max_steps: int) -> FollowResult:
     """Sweep all seeds in one direction of the driving view.
 
@@ -198,36 +207,48 @@ def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
     F_pairs = F_table[seeds.cams[:, 0:1], seeds.cams[:, 1:]]  # [S,2,3,3]
 
     def step(carry, _):
-        seg, t, xy, active = carry
+        seg, t, xy, Xc, active = carry
         nseg, nt, nxy, X, ok = _one_step(coords, lengths, seg, t, xy, dirs,
-                                         P_cams, F_pairs, cfg)
+                                         P_cams, F_pairs, cfg, X_prev=Xc)
         alive = active & ok
         seg = jnp.where(alive[:, None], nseg, seg)
         t = jnp.where(alive[:, None], nt, t)
         xy = jnp.where(alive[:, None, None], nxy, xy)
-        return (seg, t, xy, alive), (X, nxy, alive)
+        Xc = jnp.where(alive[:, None], X, Xc)
+        return (seg, t, xy, Xc, alive), (X, nxy, alive)
 
-    init = (seeds.seg, seeds.t, seeds.xy, seeds.valid & dir_ok)
-    _, (Xs, obs, alive) = jax.lax.scan(step, init, None, length=max_steps)
+    init = (seeds.seg, seeds.t, seeds.xy, seeds.X,
+            seeds.valid & dir_ok)
+    (fseg, ft, _, _, _), (Xs, obs, alive) = jax.lax.scan(
+        step, init, None, length=max_steps)
     # [T,S,...] -> [S,T,...]
     Xs = jnp.moveaxis(Xs, 0, 1)
     obs = jnp.moveaxis(obs, 0, 1)
     alive = jnp.moveaxis(alive, 0, 1)
-    # restore the caller's tuple-view order for the emitted observations
+    # restore the caller's tuple-view order
     obs = jnp.take_along_axis(obs, inv_perm[:, None, :, None], axis=2)
+    fseg = jnp.take_along_axis(fseg, inv_perm, axis=1)
+    ft = jnp.take_along_axis(ft, inv_perm, axis=1)
     return FollowResult(X=Xs, obs_xy=obs, valid=alive,
-                        n_steps=jnp.sum(alive, axis=1))
+                        n_steps=jnp.sum(alive, axis=1),
+                        final_seg=fseg, final_t=ft)
 
 
 def follow_seeds_bidirectional(seeds: SeedTuple, plg_coords, plg_length,
                                P_mats, F_table, cfg, max_steps: int):
     """Both driving directions (parity: follow_plgs_from_match* sweeping
-    both ways, plg_matching.cpp:205-265).  Returns (fwd, bwd) results and
-    the per-seed total step count used for the >=2-step seed validation
-    (parity: compatible_new_plg_point, plg_matching.cpp:1276-1287)."""
-    fwd = follow_seeds(seeds, plg_coords, plg_length, P_mats, F_table,
-                       +1, cfg, max_steps)
-    bwd = follow_seeds(seeds, plg_coords, plg_length, P_mats, F_table,
-                       -1, cfg, max_steps)
+    both ways, plg_matching.cpp:205-265), run as ONE double-width batch
+    (fwd seeds stacked on bwd seeds) so the sequential scan is paid
+    once.  Returns (fwd, bwd) results and the per-seed total step count
+    used for the >=2-step seed validation (parity:
+    compatible_new_plg_point, plg_matching.cpp:1276-1287)."""
+    S = seeds.cams.shape[0]
+    both = SeedTuple(*[jnp.concatenate([a, a], axis=0) for a in seeds])
+    drive = jnp.concatenate([jnp.full((S,), 1, jnp.int32),
+                             jnp.full((S,), -1, jnp.int32)])
+    res = follow_seeds(both, plg_coords, plg_length, P_mats, F_table,
+                       drive, cfg, max_steps)
+    fwd = jax.tree.map(lambda a: a[:S], res)
+    bwd = jax.tree.map(lambda a: a[S:], res)
     total = fwd.n_steps + bwd.n_steps
     return fwd, bwd, total

@@ -1,0 +1,372 @@
+"""Stages 1-2: polyline-to-polyline matching across views.
+
+TPU-native redesign of the reference's first two reconstruction stages
+(reference: src/edgegraph3d/matching/plg_matching/pipelines.cpp:68-158,
+src/edgegraph3d/matching/polyline_matching/polyline_matcher.cpp,
+src/edgegraph3d/matching/plg_matching/polyline_matching.cpp:45-248):
+
+  stage 1 (similarity graph):  nodes are (view, polyline) pairs; an edge
+      links two polylines that lie within 10 px of a common refpoint's
+      projections, weighted by a refpoint-weighted Jaccard of their
+      close-refpoint sets (parity: polyline_matching_similarity_graph,
+      polyline_matcher.cpp:222-336, compute_compatibility :171-199);
+      communities come from device-side label propagation
+      (communities.py — the grappolo replacement)
+
+  stage 2 (closeness):  refpoints whose every viewing cam has <= 1
+      close polyline, with >= 70% view coverage and min/max close-
+      distance ratio <= 3, form connected components of (view, polyline)
+      pairs (parity: polyline_matching_closeness_to_refpoints,
+      polyline_matcher.cpp:75-168)
+
+  driver:  every polyline of a match set is swept at 20 px intervals;
+      each unmatched sample seeds a 3-view tuple via epipolar
+      intersections with the other set members and is followed with the
+      shared following machinery (parity:
+      find_new_3d_points_from_compatible_polylines_expandallviews,
+      polyline_matching.cpp:45-248, SPLIT_INTERVAL_DISTANCE 20)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgegraph3d_tpu.config import EdgeGraphConfig
+from edgegraph3d_tpu.core.sfm import SfMData
+from edgegraph3d_tpu.matching import communities as comm_mod
+from edgegraph3d_tpu.matching import detection
+from edgegraph3d_tpu.matching.refpoints import MatchingContext, \
+    dense_observations
+from edgegraph3d_tpu.ops import polyline_ops as po
+from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched, \
+    triangulate_dlt
+
+
+# ----------------------------------------------------------------------
+# Close-polyline detection per (refpoint, view)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("M",))
+def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
+                     within_dist: float):
+    """For every (refpoint, view): top-M distinct polylines within
+    `within_dist` of the observation.  obs_xy [N,V,2]."""
+    N, V = obs_xy.shape[:2]
+
+    def per_view(v):
+        def q(pt):
+            return detection.detect_starting_intersections(
+                grids[v], plg_coords[v], pt, cell, within_dist, M)
+        return jax.vmap(q)(obs_xy[:, v])
+    cand = jax.lax.map(per_view, jnp.arange(V))
+    return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), cand)  # [N,V,M]
+
+
+# ----------------------------------------------------------------------
+# Stage 2: closeness match sets
+# ----------------------------------------------------------------------
+
+def closeness_match_sets(sfmd: SfMData, ctx: MatchingContext,
+                         max_sets: int | None = None) -> list[np.ndarray]:
+    """Connected components of (view, polyline) pairs from unambiguous
+    refpoints.  Returns a list of [k,2] arrays (view, polyline)."""
+    cfg = ctx.config
+    obs_xy, obs_mask = dense_observations(sfmd)
+    cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
+                            jnp.asarray(obs_xy), 2,
+                            cfg.find_within_dist_px)
+    valid = np.asarray(cand.valid) & obs_mask[..., None]   # [N,V,2]
+    pl = np.asarray(cand.pl_id)
+    dist = np.asarray(cand.dist)
+
+    n_close = valid.sum(axis=2)                            # [N,V]
+    unambiguous = (n_close <= 1) | ~obs_mask
+    one = (n_close == 1) & obs_mask
+    N, V = obs_mask.shape
+
+    # union-find over (view, polyline) nodes
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for n in range(N):
+        if not unambiguous[n].all():
+            continue
+        views = np.flatnonzero(one[n])
+        if len(views) < max(2, int(np.ceil(
+                cfg.closeness_min_view_coverage * obs_mask[n].sum()))):
+            continue
+        d = dist[n, views, 0]
+        if d.max() > cfg.closeness_max_dist_ratio * max(d.min(), 1e-6):
+            continue
+        nodes = [(int(v), int(pl[n, v, 0])) for v in views]
+        for other in nodes[1:]:
+            union(nodes[0], other)
+
+    groups: dict = {}
+    for node in list(parent):
+        groups.setdefault(find(node), []).append(node)
+    out = [np.asarray(sorted(g), dtype=np.int64)
+           for g in groups.values() if len(g) >= 3]
+    out.sort(key=lambda g: (-len(g), g[0][0], g[0][1]))
+    return out[:max_sets] if max_sets else out
+
+
+# ----------------------------------------------------------------------
+# Stage 1: similarity graph + communities
+# ----------------------------------------------------------------------
+
+def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
+                          max_sets: int | None = None) -> list[np.ndarray]:
+    """Polyline-compatibility communities (parity:
+    polyline_matching_similarity_graph + grappolo,
+    polyline_matcher.cpp:222-336)."""
+    cfg = ctx.config
+    obs_xy, obs_mask = dense_observations(sfmd)
+    M = 2
+    cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
+                            jnp.asarray(obs_xy), M,
+                            cfg.find_within_dist_px)
+    valid = np.asarray(cand.valid) & obs_mask[..., None]   # [N,V,M]
+    pl = np.asarray(cand.pl_id)
+
+    P_cnt = ctx.plg_coords.shape[1]
+    node_of = lambda v, p: int(v) * P_cnt + int(p)
+
+    # per refpoint: clique over its close (view, polyline) pairs;
+    # edge weight accumulates the refpoint weight 1/#close-pairs
+    # (parity: compute_refpoint_weight, polyline_matcher.cpp:191-199)
+    edge_w: dict = {}
+    close_sets: dict = {}          # node -> set of refpoints
+    N, V = obs_mask.shape
+    for n in range(N):
+        pairs = [(node_of(v, pl[n, v, m]))
+                 for v in range(V) for m in range(M) if valid[n, v, m]]
+        if len(pairs) < 2:
+            continue
+        w = 1.0 / len(pairs)
+        for i in range(len(pairs)):
+            close_sets.setdefault(pairs[i], set()).add(n)
+            for j in range(i + 1, len(pairs)):
+                a, b = min(pairs[i], pairs[j]), max(pairs[i], pairs[j])
+                if a != b:
+                    edge_w[(a, b)] = edge_w.get((a, b), 0.0) + w
+
+    if not edge_w:
+        return []
+    # weighted-Jaccard reweighting of edges by shared close-refpoint sets
+    # (parity: compute_compatibility, polyline_matcher.cpp:171-189)
+    nodes = sorted({a for a, _ in edge_w} | {b for _, b in edge_w})
+    idx = {node: i for i, node in enumerate(nodes)}
+    edges = np.asarray([[idx[a], idx[b]] for (a, b) in edge_w],
+                       dtype=np.int32)
+    weights = []
+    for (a, b), w in edge_w.items():
+        sa = close_sets.get(a, set())
+        sb = close_sets.get(b, set())
+        inter = len(sa & sb)
+        union_sz = max(len(sa | sb), 1)
+        weights.append(w * inter / union_sz)
+    weights = np.asarray(weights, dtype=np.float32)
+
+    comms = comm_mod.communities_from_edges(edges, weights, len(nodes),
+                                            min_size=3)
+    out = []
+    for c in comms:
+        pairs = np.asarray([[nodes[i] // P_cnt, nodes[i] % P_cnt]
+                            for i in c], dtype=np.int64)
+        # need >= 3 distinct views for seeding
+        if len(np.unique(pairs[:, 0])) >= 3:
+            out.append(pairs)
+    out.sort(key=lambda g: (-len(g), g[0][0], g[0][1]))
+    return out[:max_sets] if max_sets else out
+
+
+# ----------------------------------------------------------------------
+# Match-set sweep driver
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_samples", "cfg"))
+def _group_seed_sweep(plg_coords, plg_length, P_mats, F_table,
+                      grp_cam, grp_pl, grp_mask, n_samples: int,
+                      cfg: EdgeGraphConfig):
+    """Seeds from interval samples of match-set polylines.
+
+    grp_cam/grp_pl/grp_mask: [G,K].  Returns seed fields
+    [G,K,n_samples,...] with `valid`.
+    """
+    G, K = grp_cam.shape
+    cam_safe = jnp.maximum(grp_cam, 0)
+    pl_safe = jnp.maximum(grp_pl, 0)
+    coords = plg_coords[cam_safe, pl_safe]                 # [G,K,L,2]
+    lengths = jnp.where(grp_mask, plg_length[cam_safe, pl_safe], 0)
+
+    # interval samples along every member polyline (20 px)
+    samp = jax.vmap(jax.vmap(
+        lambda c, l: po.sample_interval_points(
+            c, l, cfg.split_interval_distance_px, n_samples)))(
+        coords, lengths)
+    s_xy, s_seg, s_t, s_valid = samp                      # [G,K,S,...]
+    s_valid = s_valid & grp_mask[..., None]
+
+    # epipolar lines from each sample into every other member's view
+    xyh = jnp.concatenate([s_xy, jnp.ones(s_xy.shape[:-1] + (1,),
+                                          s_xy.dtype)], axis=-1)
+    F_pair = F_table[cam_safe[:, :, None], cam_safe[:, None, :]]  # [G,K,K,3,3]
+    lines = jnp.einsum("gkjab,gksb->gksja", F_pair, xyh,
+                       precision=jax.lax.Precision.HIGHEST)  # [G,K,S,K,3]
+    ln = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)
+    lines = lines / jnp.maximum(ln, 1e-20)[..., None]
+
+    # intersections of each line with the other member's polyline
+    def isect(c, l, line):
+        xy, seg, t, ok = po.polyline_line_intersections(c, l, line, 2)
+        return xy, seg, t, ok
+    coords_b = jnp.broadcast_to(coords[:, None, None],
+                                (G, K, n_samples) + coords.shape[1:])
+    lens_b = jnp.broadcast_to(lengths[:, None, None],
+                              (G, K, n_samples, K))
+    flat = jax.vmap(isect)(
+        coords_b.reshape((-1,) + coords.shape[2:]),
+        lens_b.reshape(-1),
+        lines.reshape(-1, 3))
+    i_xy, i_seg, i_t, i_ok = jax.tree.map(
+        lambda a: a.reshape((G, K, n_samples, K) + a.shape[1:]), flat)
+    # member j usable for sample (k, s): valid member on a different cam
+    diff_cam = grp_cam[:, :, None] != grp_cam[:, None, :]   # [G,K(k),K(j)]
+    usable = (grp_mask[:, None, None, :]
+              & diff_cam[:, :, None, :])[..., None]         # [G,K,1,K,1]
+    i_ok = i_ok & usable & s_valid[..., None, None]         # [G,K,S,K,2]
+
+    # choose 2 members on distinct cams: (min cam, max cam) among usable
+    memb_has = jnp.any(i_ok, axis=-1)                      # [G,K,S,K]
+    cam_b = jnp.broadcast_to(grp_cam[:, None, None, :], memb_has.shape)
+    big = jnp.int32(10 ** 6)
+    j1 = jnp.argmin(jnp.where(memb_has, cam_b, big), axis=-1)
+    j2 = jnp.argmax(jnp.where(memb_has, cam_b, -1), axis=-1)
+    cam_j1 = jnp.take_along_axis(cam_b, j1[..., None], axis=-1)[..., 0]
+    cam_j2 = jnp.take_along_axis(cam_b, j2[..., None], axis=-1)[..., 0]
+    ok2 = (jnp.sum(memb_has, axis=-1) >= 2) & (cam_j1 != cam_j2)
+
+    def take_member(arr, j):
+        return jnp.take_along_axis(
+            arr, j[..., None].reshape(j.shape + (1,) * (arr.ndim - j.ndim)),
+            axis=3).squeeze(3)
+
+    c1 = [take_member(a, j1) for a in (i_xy, i_seg, i_t, i_ok)]
+    c2 = [take_member(a, j2) for a in (i_xy, i_seg, i_t, i_ok)]
+    pl_j1 = take_member(jnp.broadcast_to(grp_pl[:, None, None, :],
+                                         memb_has.shape), j1)
+    pl_j2 = take_member(jnp.broadcast_to(grp_pl[:, None, None, :],
+                                         memb_has.shape), j2)
+
+    # triangulate 2x2 candidate pairs; unique valid required
+    cam_s = jnp.broadcast_to(grp_cam[:, :, None], (G, K, n_samples))
+    cams3 = jnp.stack([cam_s, cam_j1, cam_j2], axis=-1)    # [G,K,S,3]
+    P3 = P_mats[jnp.maximum(cams3, 0)]
+    Mc = 2
+    pair_xy = jnp.stack([
+        jnp.broadcast_to(s_xy[..., None, None, :],
+                         (G, K, n_samples, Mc, Mc, 2)),
+        jnp.broadcast_to(c1[0][..., :, None, :],
+                         (G, K, n_samples, Mc, Mc, 2)),
+        jnp.broadcast_to(c2[0][..., None, :, :],
+                         (G, K, n_samples, Mc, Mc, 2)),
+    ], axis=-2)
+    P_b = jnp.broadcast_to(P3[..., None, None, :, :, :],
+                           (G, K, n_samples, Mc, Mc, 3, 3, 4))
+    flat_xy = pair_xy.reshape(-1, 3, 2)
+    flat_P = P_b.reshape(-1, 3, 3, 4)
+    m3 = jnp.ones(flat_xy.shape[:2], bool)
+    X0 = triangulate_dlt(flat_P, flat_xy, m3)
+    X, mse, okt = gauss_newton_batched(flat_P, flat_xy, m3, X0,
+                                       max_iters=cfg.gn_max_iters,
+                                       accept_mse=cfg.match_gn_max_mse)
+    X = X.reshape(G, K, n_samples, Mc, Mc, 3)
+    okt = okt.reshape(G, K, n_samples, Mc, Mc)
+    okt = okt & c1[3][..., :, None] & c2[3][..., None, :] \
+        & ok2[..., None, None]
+    n_valid = jnp.sum(okt.reshape(G, K, n_samples, -1), axis=-1)
+    unique = n_valid == 1
+    pick = jnp.argmax(okt.reshape(G, K, n_samples, -1), axis=-1)
+    i1 = pick // Mc
+    i2 = pick % Mc
+
+    def pick_c(arr, i):
+        return jnp.take_along_axis(
+            arr, i[..., None].reshape(i.shape + (1,) * (arr.ndim - i.ndim)),
+            axis=3).squeeze(3)
+
+    seed_X = jnp.take_along_axis(
+        X.reshape(G, K, n_samples, -1, 3), pick[..., None, None],
+        axis=3).squeeze(3)
+    seed_valid = unique & s_valid & ok2
+
+    sel1 = [pick_c(a, i1) for a in c1[:3]]
+    sel2 = [pick_c(a, i2) for a in c2[:3]]
+    pl3 = jnp.stack([jnp.broadcast_to(grp_pl[:, :, None], cam_s.shape),
+                     pl_j1, pl_j2], axis=-1)
+    seg3 = jnp.stack([s_seg, sel1[1], sel2[1]], axis=-1)
+    t3 = jnp.stack([s_t, sel1[2], sel2[2]], axis=-1)
+    xy3 = jnp.stack([s_xy, sel1[0], sel2[0]], axis=-2)
+
+    return dict(cams=cams3, pl_id=pl3, seg=seg3, t=t3, xy=xy3,
+                X=seed_X, valid=seed_valid)
+
+
+def seeds_from_match_sets(groups: list[np.ndarray], ctx: MatchingContext,
+                          n_samples: int = 24, max_members: int = 8,
+                          group_chunk: int = 64):
+    """Run the group sweep over all match sets; returns (seeds_np dict,
+    group ids) with host compaction."""
+    if not groups:
+        return None, None
+    cfg = ctx.config
+    G_total = len(groups)
+    cam = np.full((G_total, max_members), -1, dtype=np.int32)
+    pl = np.full((G_total, max_members), 0, dtype=np.int32)
+    msk = np.zeros((G_total, max_members), dtype=bool)
+    for g, pairs in enumerate(groups):
+        k = min(len(pairs), max_members)
+        cam[g, :k] = pairs[:k, 0]
+        pl[g, :k] = pairs[:k, 1]
+        msk[g, :k] = True
+
+    acc = {k: [] for k in ("cams", "pl_id", "seg", "t", "xy", "X")}
+    grp_ids = []
+    for lo in range(0, G_total, group_chunk):
+        hi = min(lo + group_chunk, G_total)
+        pad = group_chunk - (hi - lo)
+        out = _group_seed_sweep(
+            ctx.plg_coords, ctx.plg_length, ctx.P_mats, ctx.F_table,
+            jnp.asarray(np.pad(cam[lo:hi], ((0, pad), (0, 0)),
+                               constant_values=-1)),
+            jnp.asarray(np.pad(pl[lo:hi], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(msk[lo:hi], ((0, pad), (0, 0)))),
+            n_samples, cfg)
+        valid = np.array(out["valid"])
+        idx = np.argwhere(valid)
+        if len(idx) == 0:
+            continue
+        for k in acc:
+            arr = np.asarray(out[k])
+            acc[k].append(arr[idx[:, 0], idx[:, 1], idx[:, 2]])
+        grp_ids.append(lo + idx[:, 0])
+    if not grp_ids:
+        return None, None
+    return ({k: np.concatenate(v) for k, v in acc.items()},
+            np.concatenate(grp_ids))

@@ -40,6 +40,7 @@ import numpy as np
 from edgegraph3d_tpu.config import DEFAULT_CONFIG, EdgeGraphConfig
 from edgegraph3d_tpu.core.sfm import SfMData
 from edgegraph3d_tpu.matching import detection, following
+from edgegraph3d_tpu.matching import matches as matches_mod
 from edgegraph3d_tpu.matching.grid import build_grids
 from edgegraph3d_tpu.ops.geometry import all_fundamental_matrices, \
     project_depth
@@ -249,11 +250,30 @@ def _expand_sweep(plg_coords, grids, P_mats, cell: float, X,
 
 @dataclass
 class EdgePoints:
-    """Host-side reconstruction result."""
+    """Host-side reconstruction result.
+
+    (seed_id, chain_order) identify the swept 3D chains: points of one
+    seed sorted by chain_order form a 3D polyline (backward sweep,
+    seed point, forward sweep)."""
     X: np.ndarray          # [M,3]
     obs_xy: np.ndarray     # [M,V,2]
     obs_mask: np.ndarray   # [M,V]
     seed_refpoint: np.ndarray  # [M] originating refpoint id
+    seed_id: np.ndarray = None       # [M] global seed index
+    chain_order: np.ndarray = None   # [M] order along the chain
+
+    def __post_init__(self):
+        if self.seed_id is None:
+            self.seed_id = np.zeros(len(self.X), np.int64)
+        if self.chain_order is None:
+            self.chain_order = np.zeros(len(self.X), np.int64)
+
+    def select(self, keep: np.ndarray) -> "EdgePoints":
+        return EdgePoints(X=self.X[keep], obs_xy=self.obs_xy[keep],
+                          obs_mask=self.obs_mask[keep],
+                          seed_refpoint=self.seed_refpoint[keep],
+                          seed_id=self.seed_id[keep],
+                          chain_order=self.chain_order[keep])
 
 
 def _empty_points(V: int) -> EdgePoints:
@@ -302,27 +322,40 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
     return seeds_np, np.concatenate(seed_ref)
 
 
-def reconstruct_from_refpoints(
-    sfmd: SfMData, ctx: MatchingContext,
-    refpoint_chunk: int = 256, seed_chunk: int = 2048,
-    max_starting_views: int | None = None,
-) -> EdgePoints:
-    """Run stage 3 over all refpoints (parity:
-    plg_matching_from_refpoints_parallel, plg_matching_from_refpoints.cpp:83-165).
-    """
+def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
+                ctx: MatchingContext,
+                manager: "matches_mod.MatchesManager",
+                seed_chunk: int = 2048, seed_id_offset: int = 0):
+    """Phase B shared by all stages: dedup seeds against `manager`,
+    follow them bidirectionally, claim swept intervals, and collect the
+    emitted chain points.  Returns (X, obs3, cams3, refs, seed_ids,
+    orders) or None."""
     cfg = ctx.config
     V = ctx.P_mats.shape[0]
-    seeds_np, seed_ref = compute_seeds(sfmd, ctx, refpoint_chunk,
-                                       max_starting_views)
-    if seeds_np is None:
-        return _empty_points(V)
+    P_cnt = ctx.plg_coords.shape[1]
+    L_cnt = ctx.plg_coords.shape[2]
+
+    # within-batch seed dedup: one seed per starting-interval bucket
+    # (parity: the reference skips seeds on already-matched intervals,
+    # polyline_matching.cpp:173-190)
+    keep0 = matches_mod.dedup_seed_keys(
+        seeds_np["cams"], seeds_np["pl_id"], seeds_np["seg"],
+        seeds_np["t"], P_cnt, L_cnt)
+    seeds_np = {k: v[keep0] for k, v in seeds_np.items()}
+    seed_ref = seed_ref[keep0]
     S = len(seed_ref)
 
-    # ---- phase B: follow, chunked over seeds
+    # ---- follow, chunked over seeds (chunk-order claiming)
     all_X, all_obs3, all_cams3, all_ref = [], [], [], []
+    all_seed, all_order = [], []
     for lo in range(0, S, seed_chunk):
         hi = min(lo + seed_chunk, S)
         pad = seed_chunk - (hi - lo)
+        # cross-chunk dedup: drop seeds whose starting interval was
+        # claimed by an earlier chunk
+        fresh = ~manager.is_matched(
+            seeds_np["cams"][lo:hi, 0], seeds_np["pl_id"][lo:hi, 0],
+            seeds_np["seg"][lo:hi, 0], seeds_np["t"][lo:hi, 0])
 
         def padded(k, fill=0):
             a = seeds_np[k][lo:hi]
@@ -332,14 +365,30 @@ def reconstruct_from_refpoints(
         seeds = following.SeedTuple(
             cams=padded("cams"), pl_id=padded("pl_id"), seg=padded("seg"),
             t=padded("t"), xy=padded("xy"), X=padded("X"),
-            valid=jnp.asarray(np.pad(np.ones(hi - lo, bool), (0, pad))))
+            valid=jnp.asarray(np.pad(fresh, (0, pad))))
         fwd, bwd, total = following.follow_seeds_bidirectional(
             seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
             ctx.F_table, cfg, cfg.max_follow_steps)
         total = np.array(total)
         keep_seed = (total >= cfg.new_point_min_steps) & np.array(seeds.valid)
 
-        for res, include_seedpt in ((fwd, True), (bwd, False)):
+        # claim swept arcs on all tuple views
+        ks_all = np.flatnonzero(keep_seed)
+        ks_all = ks_all[ks_all < hi - lo]
+        cams_np = np.asarray(seeds.cams)
+        pl_np = np.asarray(seeds.pl_id)
+        seg_np = np.asarray(seeds.seg)
+        t_np = np.asarray(seeds.t)
+        for res in (fwd, bwd):
+            fs = np.array(res.final_seg)
+            ft = np.array(res.final_t)
+            for k in range(3):
+                manager.mark_spans(
+                    cams_np[ks_all, k], pl_np[ks_all, k],
+                    seg_np[ks_all, k], t_np[ks_all, k],
+                    fs[ks_all, k], ft[ks_all, k])
+
+        for res, sign, include_seedpt in ((fwd, 1, True), (bwd, -1, False)):
             Xs = np.asarray(res.X)
             obs = np.asarray(res.obs_xy)
             val = np.asarray(res.valid) & keep_seed[:, None]
@@ -347,26 +396,34 @@ def reconstruct_from_refpoints(
             if len(sidx):
                 all_X.append(Xs[sidx, tidx])
                 all_obs3.append(obs[sidx, tidx])
-                all_cams3.append(np.asarray(seeds.cams)[sidx])
+                all_cams3.append(cams_np[sidx])
                 all_ref.append(seed_ref[lo + sidx])
+                all_seed.append(lo + sidx)
+                all_order.append(sign * (tidx + 1))
             if include_seedpt:
-                ks = np.flatnonzero(keep_seed)
-                ks = ks[ks < hi - lo]
-                if len(ks):
-                    all_X.append(np.asarray(seeds.X)[ks])
-                    all_obs3.append(np.asarray(seeds.xy)[ks])
-                    all_cams3.append(np.asarray(seeds.cams)[ks])
-                    all_ref.append(seed_ref[lo + ks])
+                if len(ks_all):
+                    all_X.append(np.asarray(seeds.X)[ks_all])
+                    all_obs3.append(np.asarray(seeds.xy)[ks_all])
+                    all_cams3.append(cams_np[ks_all])
+                    all_ref.append(seed_ref[lo + ks_all])
+                    all_seed.append(lo + ks_all)
+                    all_order.append(np.zeros(len(ks_all), np.int64))
 
     if not all_X:
-        return _empty_points(V)
+        return None
 
-    X = np.concatenate(all_X)
-    obs3 = np.concatenate(all_obs3)
-    cams3 = np.concatenate(all_cams3)
-    refs = np.concatenate(all_ref)
+    return (np.concatenate(all_X), np.concatenate(all_obs3),
+            np.concatenate(all_cams3), np.concatenate(all_ref),
+            np.concatenate(all_seed) + seed_id_offset,
+            np.concatenate(all_order))
 
-    # ---- phase C: expand to all views, chunked
+
+def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
+                        seed_ids, orders) -> EdgePoints:
+    """Phase C shared by all stages: expand every point to all views and
+    assemble the EdgePoints result."""
+    cfg = ctx.config
+    V = ctx.P_mats.shape[0]
     Np = len(X)
     obs_xy = np.zeros((Np, V, 2), dtype=np.float32)
     obs_mask = np.zeros((Np, V), dtype=bool)
@@ -386,4 +443,30 @@ def reconstruct_from_refpoints(
         obs_mask[np.arange(Np), cams3[:, k]] = True
 
     return EdgePoints(X=X, obs_xy=obs_xy, obs_mask=obs_mask,
-                      seed_refpoint=refs)
+                      seed_refpoint=refs, seed_id=seed_ids,
+                      chain_order=orders)
+
+
+def reconstruct_from_refpoints(
+    sfmd: SfMData, ctx: MatchingContext,
+    refpoint_chunk: int = 256, seed_chunk: int = 2048,
+    max_starting_views: int | None = None,
+    manager: "matches_mod.MatchesManager | None" = None,
+    seed_id_offset: int = 0,
+) -> EdgePoints:
+    """Run stage 3 over all refpoints (parity:
+    plg_matching_from_refpoints_parallel, plg_matching_from_refpoints.cpp:83-165).
+    """
+    V = ctx.P_mats.shape[0]
+    seeds_np, seed_ref = compute_seeds(sfmd, ctx, refpoint_chunk,
+                                       max_starting_views)
+    if seeds_np is None:
+        return _empty_points(V)
+    if manager is None:
+        manager = matches_mod.MatchesManager(
+            V, ctx.plg_coords.shape[1], ctx.plg_coords.shape[2])
+    res = sweep_seeds(seeds_np, seed_ref, ctx, manager, seed_chunk,
+                      seed_id_offset)
+    if res is None:
+        return _empty_points(V)
+    return expand_and_assemble(ctx, *res)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from edgegraph3d_tpu.ops.geometry import project
+from edgegraph3d_tpu.ops.linalg3 import smallest_eigvec4, solve3
 
 # true-f32 accumulation for tiny contractions (see geometry.py)
 _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
@@ -53,8 +54,9 @@ def triangulate_dlt(P: jnp.ndarray, xy: jnp.ndarray,
     rn = jnp.linalg.norm(A, axis=-1, keepdims=True)
     A = A / jnp.maximum(rn, 1e-12) * m2
     AtA = _einsum("...ni,...nj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    Xh = vecs[..., :, 0]
+    # nullspace via shifted power iteration (closed-form path — batched
+    # eigh lowers to slow QR loops on TPU, see ops/linalg3.py)
+    Xh = smallest_eigvec4(AtA)
     w = Xh[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     return Xh[..., :3] / w[..., None]
@@ -139,7 +141,7 @@ def gauss_newton_batched(
         J = jacobian(X) * mf[..., None, None]
         H = _einsum("noki,nokj->nij", J, J)         # [N,3,3]
         g = _einsum("noki,nok->ni", J, r)           # [N,3]
-        detH = jnp.linalg.det(H)
+        dX, detH = solve3(H, g)                     # closed-form Cramer
         # absolute test mirrors the reference (det < 1e-5,
         # triangulation.cpp:97-99); the scale-relative test catches
         # rank-deficient H whose f32 det noise exceeds the absolute
@@ -147,8 +149,7 @@ def gauss_newton_batched(
         h_scale = jnp.linalg.norm(H, axis=(-2, -1)) / jnp.sqrt(3.0)
         bad = (jnp.abs(detH) < det_min) | (
             jnp.abs(detH) < 1e-5 * h_scale ** 3)
-        H_safe = jnp.where(bad[:, None, None], jnp.eye(3, dtype=dtype), H)
-        dX = jnp.linalg.solve(H_safe, g[..., None])[..., 0]
+        dX = jnp.where(bad[:, None], 0.0, dX)
         step_ok = ~(now_frozen | bad)
         X_new = jnp.where(step_ok[:, None], X + dX, X)
         last_new = jnp.where(now_frozen, last_mse, mse)

@@ -1,0 +1,87 @@
+"""Sharded compute paths: distributed BA and sharded matching sweeps.
+
+The distributed Gauss-Newton / bundle-adjustment design (SURVEY.md §2.10
+item 3, BASELINE.json north star): 3D points and their observations are
+sharded over the mesh's work axis; each device builds its local Schur
+pieces; the 6Vx6V camera system and the scalar residual are reduced with
+`jax.lax.psum` over ICI; the tiny camera solve is replicated; point
+updates stay local.  Per-point GN (no camera coupling) needs no
+collectives at all — sharding the batch axis is enough.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from edgegraph3d_tpu.ops import ba as ba_ops
+from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
+from edgegraph3d_tpu.parallel.mesh import SHARD_AXIS
+
+
+def distributed_ba_step(mesh, state: ba_ops.BAState, obs_cam, obs_xy,
+                        obs_mask, damping: float = 1e-4):
+    """One joint LM step with points sharded over the mesh.
+
+    state.X / obs_* are sharded on axis 0; cameras are replicated.
+    Returns (new_state with sharded X, mean squared residual).
+    """
+
+    def local(X, obs_cam, obs_xy, obs_mask, K, R, t):
+        st = ba_ops.BAState(K=K, R=R, t=t, X=X)
+        S, rhs, Hxx_inv, gx, Hxc, onehot, resid_sq, n_obs = \
+            ba_ops.ba_schur_local(st, obs_cam, obs_xy, obs_mask, damping)
+        # the only cross-device communication: psum of the per-view
+        # Hessian blocks, rhs, and residual stats over ICI
+        S = jax.lax.psum(S, SHARD_AXIS)
+        rhs = jax.lax.psum(rhs, SHARD_AXIS)
+        resid_sq = jax.lax.psum(resid_sq, SHARD_AXIS)
+        n_obs = jax.lax.psum(n_obs, SHARD_AXIS)
+        new_state, dc, dx = ba_ops.ba_apply(st, S, rhs, Hxx_inv, gx, Hxc,
+                                            onehot, damping)
+        return (new_state.R, new_state.t, new_state.X,
+                resid_sq / jnp.maximum(n_obs, 1))
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(sh, sh, sh, sh, rep, rep, rep),
+        out_specs=(rep, rep, sh, rep),
+        check_vma=False)
+    R, t, X, mse = fn(state.X, obs_cam, obs_xy, obs_mask,
+                      state.K, state.R, state.t)
+    return ba_ops.BAState(K=state.K, R=R, t=t, X=X), mse
+
+
+def distributed_ba(mesh, state, obs_cam, obs_xy, obs_mask,
+                   n_steps: int = 10, damping: float = 1e-4):
+    """n_steps of distributed LM (jit once, scan inside)."""
+
+    @jax.jit
+    def run(state, obs_cam, obs_xy, obs_mask):
+        def body(st, _):
+            st2, mse = distributed_ba_step(mesh, st, obs_cam, obs_xy,
+                                           obs_mask, damping)
+            return st2, mse
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return run(state, obs_cam, obs_xy, obs_mask)
+
+
+def sharded_gauss_newton(mesh, P_obs, xy, mask, X0, **kw):
+    """Per-point GN with the point axis sharded (no collectives)."""
+    sh = P(SHARD_AXIS)
+
+    def local(P_obs, xy, mask, X0):
+        return gauss_newton_batched(P_obs, xy, mask, X0, **kw)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(sh, sh, sh, sh),
+                   out_specs=(sh, sh, sh),
+                   check_vma=False)
+    return fn(P_obs, xy, mask, X0)

@@ -64,6 +64,66 @@ def edge_points_to_obs_lists(pts: refpoints_mod.EdgePoints):
     return obs_cam, obs_xy
 
 
+def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
+                           stages=(1, 2, 3),
+                           max_starting_views: int | None = None):
+    """Run the enabled reconstruction stages with one shared interval
+    manager (parity: edge_reconstruction_pipeline, pipelines.cpp:201-248
+    — stage 1 similarity, stage 2 closeness, stage 3 refpoints, each
+    skipping intervals claimed by earlier stages)."""
+    from edgegraph3d_tpu.matching import matches as matches_mod
+    from edgegraph3d_tpu.matching import polyline_stages
+
+    V = ctx.P_mats.shape[0]
+    manager = matches_mod.MatchesManager(
+        V, ctx.plg_coords.shape[1], ctx.plg_coords.shape[2])
+    pieces = []
+
+    def run_group_stage(name, groups, offset):
+        t0 = time.time()
+        seeds_np, grp = polyline_stages.seeds_from_match_sets(groups, ctx)
+        n = 0
+        if seeds_np is not None:
+            res = refpoints_mod.sweep_seeds(seeds_np, grp, ctx, manager,
+                                            seed_id_offset=offset)
+            if res is not None:
+                pieces.append(res)
+                n = len(res[0])
+        stats.log(name, t0, n)
+
+    if 1 in stages:
+        t0 = time.time()
+        groups1 = polyline_stages.similarity_match_sets(sfmd, ctx)
+        stats.log("stage1_similarity_graph", t0, len(groups1))
+        run_group_stage("stage1_sweep", groups1, 0)
+    if 2 in stages:
+        t0 = time.time()
+        groups2 = polyline_stages.closeness_match_sets(sfmd, ctx)
+        stats.log("stage2_closeness_graph", t0, len(groups2))
+        run_group_stage("stage2_sweep", groups2, 10 ** 7)
+    if 3 in stages:
+        t0 = time.time()
+        seeds_np, seed_ref = refpoints_mod.compute_seeds(
+            sfmd, ctx, max_starting_views=max_starting_views)
+        n = 0
+        if seeds_np is not None:
+            res = refpoints_mod.sweep_seeds(seeds_np, seed_ref, ctx,
+                                            manager,
+                                            seed_id_offset=2 * 10 ** 7)
+            if res is not None:
+                pieces.append(res)
+                n = len(res[0])
+        stats.log("stage3_refpoints", t0, n)
+
+    if not pieces:
+        return refpoints_mod._empty_points(V)
+    merged = [np.concatenate([p[i] for p in pieces]) for i in range(6)]
+    t0 = time.time()
+    pts = refpoints_mod.expand_and_assemble(ctx, *merged)
+    stats.log("expand_all_views", t0, len(pts.X))
+    return pts
+
+
 def run_pipeline(
     sfmd: sfm_io.SfMData,
     edge_images: np.ndarray,
@@ -71,30 +131,39 @@ def run_pipeline(
     working_folder: str | None = None,
     max_starting_views: int | None = None,
     stats: PipelineStats | None = None,
+    stages=(1, 2, 3),
 ) -> sfm_io.SfMData:
     """In-memory pipeline: returns the filtered, edge-augmented scene."""
     stats = stats if stats is not None else PipelineStats()
 
     t0 = time.time()
-    stack = extract_plgs(edge_images, config)
+    plg_ckpt = (os.path.join(working_folder, "plgs.npz")
+                if working_folder else None)
+    if plg_ckpt and os.path.exists(plg_ckpt):
+        # stage-level resume (replaces the reference's unused read_plgs
+        # path, plg_handling.cpp:59-67)
+        from edgegraph3d_tpu.plgs.plg_io import load_plg_stack
+        stack = load_plg_stack(plg_ckpt)
+    else:
+        stack = extract_plgs(edge_images, config)
+        if plg_ckpt:
+            os.makedirs(working_folder, exist_ok=True)
+            from edgegraph3d_tpu.plgs.plg_io import save_plg_stack
+            save_plg_stack(stack, plg_ckpt)
     stats.log("plg_extraction", t0, int((stack.length >= 2).sum()))
 
     t0 = time.time()
     ctx = refpoints_mod.build_context(sfmd, stack, config)
     stats.log("context(F+grids)", t0)
 
-    t0 = time.time()
-    pts = refpoints_mod.reconstruct_from_refpoints(
-        sfmd, ctx, max_starting_views=max_starting_views)
-    stats.log("refpoint_matching", t0, len(pts.X))
+    pts = reconstruct_all_stages(sfmd, ctx, stats, stages,
+                                 max_starting_views)
 
     t0 = time.time()
     keep = density_filter(pts.obs_xy, pts.obs_mask,
                           int(sfmd.widths.max()), int(sfmd.heights.max()),
                           cell=config.density_cell_size_px)
-    pts = refpoints_mod.EdgePoints(
-        X=pts.X[keep], obs_xy=pts.obs_xy[keep], obs_mask=pts.obs_mask[keep],
-        seed_refpoint=pts.seed_refpoint[keep])
+    pts = pts.select(keep)
     stats.log("density_filter", t0, len(pts.X))
 
     first_edgepoint = sfmd.n_points
@@ -105,6 +174,12 @@ def run_pipeline(
         os.makedirs(working_folder, exist_ok=True)
         sfm_io.write_sfm_data(
             augmented, os.path.join(working_folder, "before_filtering.json"))
+        # 3D polyline graph checkpoint ("outgraph.3dg" equivalent,
+        # pipelines.cpp:233)
+        from edgegraph3d_tpu.plgs.polyline_graph_3d import \
+            assemble_from_edge_points
+        plg3d = assemble_from_edge_points(pts, sfmd.n_cameras)
+        plg3d.save(os.path.join(working_folder, "outgraph_3d.npz"))
 
     t0 = time.time()
     filtered = filter_sfm_data(augmented, first_edgepoint,

@@ -34,7 +34,9 @@ def _dist_to_curves(X, curves):
 
 def test_produces_points(recon):
     _, _, pts = recon
-    assert len(pts.X) > 50
+    # interval dedup keeps one sweep per polyline arc, so the count is
+    # near-unique coverage rather than duplicated sweeps
+    assert len(pts.X) > 30
 
 
 def test_points_lie_on_curves(recon):
