@@ -85,9 +85,17 @@ def communities_from_edges(edges: np.ndarray, weights: np.ndarray,
     community_detection_interface.cpp:57-73: cluster id per node)."""
     if len(edges) == 0 or n_nodes == 0:
         return []
+    # pad shapes to powers of two so compiled executables are reused
+    # across scenes (and across the persistent compile cache)
+    E_pad = 1 << int(np.ceil(np.log2(max(len(edges), 1))))
+    n_pad = 1 << int(np.ceil(np.log2(max(n_nodes, 1))))
+    edges_p = np.full((E_pad, 2), -1, dtype=np.int32)
+    edges_p[: len(edges)] = edges
+    weights_p = np.zeros(E_pad, dtype=np.float32)
+    weights_p[: len(weights)] = weights
     labels = np.asarray(label_propagation(
-        jnp.asarray(edges, jnp.int32), jnp.asarray(weights, jnp.float32),
-        n_nodes, n_iters))
+        jnp.asarray(edges_p), jnp.asarray(weights_p),
+        n_pad, n_iters))[:n_nodes]
     out = []
     for lab in np.unique(labels):
         members = np.flatnonzero(labels == lab)

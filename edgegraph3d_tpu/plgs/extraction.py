@@ -450,18 +450,59 @@ def optimize_chains(chains: list[np.ndarray],
 # Entry points
 # ----------------------------------------------------------------------
 
+def extract_chains_native(mask: np.ndarray,
+                          config: EdgeGraphConfig) -> list[np.ndarray] | None:
+    """C++ fast path for stages 1-4 (edgegraph3d_tpu/native/extraction.cpp);
+    returns None when the native library is unavailable."""
+    import ctypes
+
+    from edgegraph3d_tpu.native import get_extraction_lib
+    lib = get_extraction_lib()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    H, W = m.shape
+    max_coords = int(m.sum()) * 2 + 16
+    max_chains = max_coords // 2 + 4
+    coords = np.empty((max_coords, 2), dtype=np.float32)
+    offsets = np.empty(max_chains + 1, dtype=np.int64)
+    n_chains = ctypes.c_int64(0)
+    n_coords = ctypes.c_int64(0)
+    rc = lib.eg3d_extract_chains(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W,
+        ctypes.c_float(config.simplify_tolerance_px),
+        ctypes.c_float(config.connect_extremes_max_dist_px),
+        config.degenerate_loop_min_coords, config.split_loop_min_len,
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_coords,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_chains, ctypes.byref(n_chains), ctypes.byref(n_coords))
+    if rc != 0:
+        return None
+    nc = n_chains.value
+    return [coords[offsets[i]:offsets[i + 1]].copy() for i in range(nc)]
+
+
 def extract_plg(edge_image: np.ndarray,
                 config: EdgeGraphConfig = DEFAULT_CONFIG,
-                optimize: bool = True) -> PLG2D:
+                optimize: bool = True, use_native: bool = True) -> PLG2D:
     """Edge image (uint8 {0,255} or bool, [H,W]) -> optimized PLG2D
     (parity: convertEdgeImagePolyLineGraph_optimized,
-    convert_edge_images_pixel_to_segment.cpp:868-892)."""
+    convert_edge_images_pixel_to_segment.cpp:868-892).
+
+    The C++ fast path (native/extraction.cpp) is used when available;
+    the numpy implementation below defines the behavior and remains the
+    fallback."""
     mask = edge_image > 0 if edge_image.dtype != bool else edge_image
-    mask = remove_useless_corners(mask)
-    node_xy, edges = build_pixel_edges(mask)
-    chains = trace_chains(node_xy, edges)
-    if optimize:
-        chains = optimize_chains(chains, config)
+    chains = None
+    if optimize and use_native:
+        chains = extract_chains_native(mask, config)
+    if chains is None:
+        mask = remove_useless_corners(mask)
+        node_xy, edges = build_pixel_edges(mask)
+        chains = trace_chains(node_xy, edges)
+        if optimize:
+            chains = optimize_chains(chains, config)
     plg = from_polyline_list(chains,
                              max_polylines=config.max_polylines_per_view,
                              max_len=config.max_polyline_len)

@@ -156,6 +156,40 @@ def test_synthetic_scene_extraction_matches_projection(small_scene):
     assert np.quantile(d, 0.95) < 2.5
 
 
+def test_native_extraction_parity(small_scene):
+    """C++ fast path produces equivalent chains to the numpy reference
+    implementation (same recall, similar counts and arc length)."""
+    from edgegraph3d_tpu.native import get_extraction_lib
+    if get_extraction_lib() is None:
+        pytest.skip("native extraction unavailable (no g++)")
+    _, edge_imgs, _ = small_scene
+    img = edge_imgs[0]
+    n = extraction.extract_plg(img, CFG, use_native=True)
+    p = extraction.extract_plg(img, CFG, use_native=False)
+    ln = n.total_lengths().sum()
+    lp = p.total_lengths().sum()
+    assert abs(ln - lp) / max(lp, 1) < 0.1
+    assert abs(n.n_polylines - p.n_polylines) <= max(3, 0.15 * p.n_polylines)
+    # compare the CURVES, not the simplification vertices (cleanup order
+    # differs between impls, shifting vertices a few px along the chain
+    # while the traced curve stays the same): dense-sample both and
+    # measure curve-to-curve distance
+    def dense(plg):
+        pts = []
+        for i in np.flatnonzero(plg.valid):
+            c = plg.polyline(i)
+            for k in range(len(c) - 1):
+                m = int(np.linalg.norm(c[k + 1] - c[k])) + 2
+                t = np.linspace(0, 1, m)[:, None]
+                pts.append(c[k] * (1 - t) + c[k + 1] * t)
+        return np.concatenate(pts)
+    dn = dense(n)
+    dp = dense(p)
+    d = np.sqrt(((dn[:, None] - dp[None]) ** 2).sum(-1)).min(1)
+    assert np.quantile(d, 0.9) < 1.5
+    assert np.median(d) < 0.5
+
+
 def test_real_dtu_edge_image():
     """Extraction on a real dtu006 edge map stays sane."""
     import os
