@@ -15,9 +15,11 @@ rasters [V, P, B]:
     sequential skip of already-matched intervals,
     polyline_matching.cpp:173-190)
 
-Buckets are indexed by coordinate position (segment index scaled to B),
-which is monotone along the chain — adequate resolution at B=64 for
-polylines capped at 256 coords.
+Buckets are indexed by fractional coordinate position along each
+polyline's ACTUAL coord count (not the padded budget), which is
+monotone along the chain — adequate resolution at B=64 for polylines
+capped at 256 coords, and resolution-preserving for heavily simplified
+chains (a 2-coord straight chain still spans all B buckets).
 """
 
 from __future__ import annotations
@@ -26,26 +28,32 @@ import numpy as np
 
 
 class MatchesManager:
-    """Host-side interval raster over all views' polylines."""
+    """Host-side interval raster over all views' polylines.
 
-    def __init__(self, n_views: int, n_polylines: int, n_coords: int,
-                 buckets: int = 64):
+    `lengths` [V, P] is the actual coord count per polyline (0/1 for
+    invalid slots)."""
+
+    def __init__(self, lengths: np.ndarray, buckets: int = 64):
+        lengths = np.asarray(lengths)
         self.B = buckets
-        self.L = n_coords
+        self.lengths = lengths
+        n_views, n_polylines = lengths.shape
         self.raster = np.zeros((n_views, n_polylines, buckets), dtype=bool)
 
-    def bucket(self, seg: np.ndarray, t: np.ndarray) -> np.ndarray:
-        pos = (seg + np.clip(t, 0.0, 1.0)) / max(self.L - 1, 1)
+    def bucket(self, view: np.ndarray, pl: np.ndarray,
+               seg: np.ndarray, t: np.ndarray) -> np.ndarray:
+        denom = np.maximum(self.lengths[view, pl] - 1, 1)
+        pos = (seg + np.clip(t, 0.0, 1.0)) / denom
         return np.clip((pos * self.B).astype(np.int64), 0, self.B - 1)
 
     def is_matched(self, view: np.ndarray, pl: np.ndarray,
                    seg: np.ndarray, t: np.ndarray) -> np.ndarray:
-        b = self.bucket(seg, t)
+        b = self.bucket(view, pl, seg, t)
         return self.raster[view, pl, b]
 
     def mark_points(self, view: np.ndarray, pl: np.ndarray,
                     seg: np.ndarray, t: np.ndarray) -> None:
-        b = self.bucket(seg, t)
+        b = self.bucket(view, pl, seg, t)
         self.raster[view, pl, b] = True
 
     def mark_spans(self, view: np.ndarray, pl: np.ndarray,
@@ -54,8 +62,8 @@ class MatchesManager:
         """Mark whole arcs between two positions (parity:
         add_matched_3dsegment marking the 2D interval,
         plg_matches_manager.cpp:110-173)."""
-        ba = self.bucket(seg_a, t_a)
-        bb = self.bucket(seg_b, t_b)
+        ba = self.bucket(view, pl, seg_a, t_a)
+        bb = self.bucket(view, pl, seg_b, t_b)
         lo = np.minimum(ba, bb)
         hi = np.maximum(ba, bb)
         # vectorized span fill: outer comparison against bucket axis
@@ -65,13 +73,16 @@ class MatchesManager:
 
 
 def dedup_seed_keys(cams: np.ndarray, pl_id: np.ndarray, seg: np.ndarray,
-                    t: np.ndarray, n_polylines: int, n_coords: int,
+                    t: np.ndarray, lengths: np.ndarray,
                     buckets: int = 64) -> np.ndarray:
     """Within-batch seed dedup: one seed per (view, polyline, bucket)
     triple of its STARTING view; keeps the first (lowest index).
+    `lengths` [V, P] = actual coord counts.
 
     Returns a boolean keep mask."""
-    pos = (seg[:, 0] + np.clip(t[:, 0], 0, 1)) / max(n_coords - 1, 1)
+    n_polylines = lengths.shape[1]
+    denom = np.maximum(lengths[cams[:, 0], pl_id[:, 0]] - 1, 1)
+    pos = (seg[:, 0] + np.clip(t[:, 0], 0, 1)) / denom
     b = np.clip((pos * buckets).astype(np.int64), 0, buckets - 1)
     key = (cams[:, 0].astype(np.int64) * n_polylines
            + pl_id[:, 0]) * buckets + b

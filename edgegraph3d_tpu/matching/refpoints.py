@@ -332,15 +332,12 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
     orders) or None."""
     cfg = ctx.config
     V = ctx.P_mats.shape[0]
-    P_cnt = ctx.plg_coords.shape[1]
-    L_cnt = ctx.plg_coords.shape[2]
-
     # within-batch seed dedup: one seed per starting-interval bucket
     # (parity: the reference skips seeds on already-matched intervals,
     # polyline_matching.cpp:173-190)
     keep0 = matches_mod.dedup_seed_keys(
         seeds_np["cams"], seeds_np["pl_id"], seeds_np["seg"],
-        seeds_np["t"], P_cnt, L_cnt)
+        seeds_np["t"], np.asarray(ctx.plg_length))
     seeds_np = {k: v[keep0] for k, v in seeds_np.items()}
     seed_ref = seed_ref[keep0]
     S = len(seed_ref)
@@ -463,8 +460,7 @@ def reconstruct_from_refpoints(
     if seeds_np is None:
         return _empty_points(V)
     if manager is None:
-        manager = matches_mod.MatchesManager(
-            V, ctx.plg_coords.shape[1], ctx.plg_coords.shape[2])
+        manager = matches_mod.MatchesManager(np.asarray(ctx.plg_length))
     res = sweep_seeds(seeds_np, seed_ref, ctx, manager, seed_chunk,
                       seed_id_offset)
     if res is None:

@@ -34,27 +34,37 @@ inline int64_t key_of(float x, float y) {
 }
 
 // ---------------------------------------------------------------- stage 1
+// 4 checkerboard phases iterated to a fixpoint — IDENTICAL semantics to
+// extraction.py::remove_useless_corners so both implementations produce
+// the same cleaned mask (decisions within one (i%2, j%2) class only read
+// the 8-neighborhood, so they are order-independent within a phase).
 void clean_corners(std::vector<uint8_t>& m, int H, int W) {
   auto at = [&](int i, int j) -> bool {
     return i >= 0 && i < H && j >= 0 && j < W && m[(size_t)i * W + j];
   };
-  bool changed = true;
-  int sweeps = 0;
-  while (changed && sweeps++ < 8) {
-    changed = false;
-    for (int i = 0; i < H; i++)
-      for (int j = 0; j < W; j++) {
-        if (!m[(size_t)i * W + j]) continue;
-        bool N = at(i - 1, j), S = at(i + 1, j), Wn = at(i, j - 1),
-             E = at(i, j + 1);
-        bool NE = at(i - 1, j + 1), NW = at(i - 1, j - 1),
-             SE = at(i + 1, j + 1), SW = at(i + 1, j - 1);
-        if ((N && Wn && !SE) || (N && E && !SW) || (S && E && !NW) ||
-            (S && Wn && !NE)) {
-          m[(size_t)i * W + j] = 0;
+  std::vector<int> to_clear;
+  for (int sweep = 0; sweep < 8; sweep++) {
+    bool changed = false;
+    for (int pa = 0; pa < 2; pa++)
+      for (int pb = 0; pb < 2; pb++) {
+        to_clear.clear();
+        for (int i = pa; i < H; i += 2)
+          for (int j = pb; j < W; j += 2) {
+            if (!m[(size_t)i * W + j]) continue;
+            bool N = at(i - 1, j), S = at(i + 1, j), Wn = at(i, j - 1),
+                 E = at(i, j + 1);
+            bool NE = at(i - 1, j + 1), NW = at(i - 1, j - 1),
+                 SE = at(i + 1, j + 1), SW = at(i + 1, j - 1);
+            if ((N && Wn && !SE) || (N && E && !SW) || (S && E && !NW) ||
+                (S && Wn && !NE))
+              to_clear.push_back(i * W + j);
+          }
+        if (!to_clear.empty()) {
+          for (int idx : to_clear) m[(size_t)idx] = 0;
           changed = true;
         }
       }
+    if (!changed) break;
   }
 }
 

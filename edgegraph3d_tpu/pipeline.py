@@ -75,8 +75,7 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
     from edgegraph3d_tpu.matching import polyline_stages
 
     V = ctx.P_mats.shape[0]
-    manager = matches_mod.MatchesManager(
-        V, ctx.plg_coords.shape[1], ctx.plg_coords.shape[2])
+    manager = matches_mod.MatchesManager(np.asarray(ctx.plg_length))
     pieces = []
 
     def run_group_stage(name, groups, offset):

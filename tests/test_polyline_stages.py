@@ -72,8 +72,7 @@ def test_match_set_sweep_produces_chains(ctx_scene):
     groups = polyline_stages.closeness_match_sets(sfmd, ctx)
     seeds_np, grp = polyline_stages.seeds_from_match_sets(groups, ctx)
     assert seeds_np is not None
-    manager = matches_mod.MatchesManager(
-        8, ctx.plg_coords.shape[1], ctx.plg_coords.shape[2])
+    manager = matches_mod.MatchesManager(np.asarray(ctx.plg_length))
     res = refpoints.sweep_seeds(seeds_np, grp, ctx, manager)
     assert res is not None
     pts = refpoints.expand_and_assemble(ctx, *res)
