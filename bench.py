@@ -34,8 +34,9 @@ import numpy as np
 
 # measured with `python bench.py --probe-cpu` on this host (see module
 # docstring); update when the workload or pipeline changes materially.
-# 2026-08-17: 0.1456 views/s (55.0s for 8 views @1600x1200, 723 pts).
-CPU_BASELINE_VIEWS_PER_S = 0.1456
+# 2026-08-18: 0.2835 views/s (28.2s steady-state for 8 views @1600x1200
+# after an identical warmup pass).
+CPU_BASELINE_VIEWS_PER_S = 0.2835
 
 
 def build_workload(n_views: int, width: int, height: int,
@@ -49,6 +50,13 @@ def build_workload(n_views: int, width: int, height: int,
 
 def run(n_views: int, width: int, height: int, n_ref: int,
         max_starting_views: int | None, verbose: bool = True):
+    """Steady-state throughput: one warmup pass (same jit shapes — the
+    padding budgets make every device program's shape independent of the
+    refpoint count) triggers all compiles / executable loads, then the
+    measured pass times the full workload.  The CPU probe goes through
+    the identical warmup, so `vs_baseline` compares steady states."""
+    import numpy as np
+
     from edgegraph3d_tpu.config import EdgeGraphConfig
     from edgegraph3d_tpu.pipeline import PipelineStats, run_pipeline
 
@@ -56,6 +64,21 @@ def run(n_views: int, width: int, height: int, n_ref: int,
                                     max_polyline_len=256,
                                     max_follow_steps=128)
     sfmd, edge_imgs, _ = build_workload(n_views, width, height, n_ref)
+
+    # warmup: same scene with a small refpoint subsample (view count and
+    # image size preserved -> identical compiled shapes)
+    warm = sfmd.copy()
+    keep = np.linspace(0, sfmd.n_points - 1, min(40, sfmd.n_points),
+                       dtype=np.int64)
+    warm.points = sfmd.points[keep]
+    warm.obs_cam = [sfmd.obs_cam[i] for i in keep]
+    warm.obs_xy = [sfmd.obs_xy[i] for i in keep]
+    t0 = time.time()
+    run_pipeline(warm, edge_imgs, cfg,
+                 max_starting_views=max_starting_views)
+    if verbose:
+        print(f"warmup: {time.time() - t0:.2f}s", file=sys.stderr)
+
     stats = PipelineStats()
     t0 = time.time()
     out = run_pipeline(sfmd, edge_imgs, cfg,

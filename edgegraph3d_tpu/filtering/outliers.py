@@ -42,16 +42,24 @@ def gauss_newton_filter(sfmd: SfMData, gn_max_mse: float = 2.25,
     P = sfmd.P.astype(np.float32)
     new_pts = sfmd.points.copy()
     inliers = np.zeros(N, dtype=bool)
+    # shape-bucket the batch axis (next power of two) so repeated calls
+    # with nearby N reuse one compiled executable
+    chunk = min(chunk, 1 << (max(N - 1, 1)).bit_length())
     for lo in range(0, N, chunk):
         hi = min(lo + chunk, N)
-        P_obs = P[np.clip(packed.cam_idx[lo:hi], 0, None)]
+        pad = chunk - (hi - lo)
+
+        def padded(a, fill=0):
+            return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                          constant_values=fill)
+        P_obs = P[np.clip(padded(packed.cam_idx[lo:hi], -1), 0, None)]
         X, mse, ok = gauss_newton_batched(
-            jnp.asarray(P_obs), jnp.asarray(packed.xy[lo:hi]),
-            jnp.asarray(packed.mask[lo:hi]),
-            jnp.asarray(sfmd.points[lo:hi].astype(np.float32)),
+            jnp.asarray(P_obs), jnp.asarray(padded(packed.xy[lo:hi])),
+            jnp.asarray(padded(packed.mask[lo:hi])),
+            jnp.asarray(padded(sfmd.points[lo:hi].astype(np.float32))),
             max_iters=max_iters, accept_mse=gn_max_mse)
-        ok = np.array(ok)
-        X = np.array(X)
+        ok = np.array(ok)[: hi - lo]
+        X = np.array(X)[: hi - lo]
         inliers[lo:hi] = ok
         sel = np.flatnonzero(ok)
         new_pts[lo + sel] = X[sel]

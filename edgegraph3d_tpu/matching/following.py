@@ -21,6 +21,7 @@ Everything is batched over seeds: a follow sweep processes [S] seeds x
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -175,6 +176,7 @@ def resolve_configuration(seeds: SeedTuple, plg_coords, plg_length,
     return perm, dirs, any_ok
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
                  plg_length: jnp.ndarray, P_mats: jnp.ndarray,
                  F_table: jnp.ndarray, drive_dir, cfg,
@@ -206,8 +208,22 @@ def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
     P_cams = P_mats[seeds.cams]                         # [S,3,3,4]
     F_pairs = F_table[seeds.cams[:, 0:1], seeds.cams[:, 1:]]  # [S,2,3,3]
 
-    def step(carry, _):
-        seg, t, xy, Xc, active = carry
+    # bounded walk with EARLY EXIT: a while_loop (not scan) stops as soon
+    # as every chain has terminated — typical sweeps die within a
+    # fraction of max_steps, so this trades the scan's fixed step count
+    # for data-dependent wall-clock.  Outputs land in preallocated
+    # buffers via in-place dynamic updates (XLA aliases them in the loop).
+    Sb = seeds.cams.shape[0]
+    Xs0 = jnp.zeros((Sb, max_steps, 3), seeds.X.dtype)
+    obs0 = jnp.zeros((Sb, max_steps, 3, 2), seeds.xy.dtype)
+    alive0 = jnp.zeros((Sb, max_steps), bool)
+
+    def cond_fn(carry):
+        i, _, _, _, _, active = carry[:6]
+        return (i < max_steps) & jnp.any(active)
+
+    def body_fn(carry):
+        i, seg, t, xy, Xc, active, Xs, obs, alive_buf = carry
         nseg, nt, nxy, X, ok = _one_step(coords, lengths, seg, t, xy, dirs,
                                          P_cams, F_pairs, cfg, X_prev=Xc)
         alive = active & ok
@@ -215,16 +231,16 @@ def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
         t = jnp.where(alive[:, None], nt, t)
         xy = jnp.where(alive[:, None, None], nxy, xy)
         Xc = jnp.where(alive[:, None], X, Xc)
-        return (seg, t, xy, Xc, alive), (X, nxy, alive)
+        Xs = jax.lax.dynamic_update_index_in_dim(Xs, X, i, 1)
+        obs = jax.lax.dynamic_update_index_in_dim(obs, nxy, i, 1)
+        alive_buf = jax.lax.dynamic_update_index_in_dim(alive_buf, alive,
+                                                        i, 1)
+        return (i + 1, seg, t, xy, Xc, alive, Xs, obs, alive_buf)
 
-    init = (seeds.seg, seeds.t, seeds.xy, seeds.X,
-            seeds.valid & dir_ok)
-    (fseg, ft, _, _, _), (Xs, obs, alive) = jax.lax.scan(
-        step, init, None, length=max_steps)
-    # [T,S,...] -> [S,T,...]
-    Xs = jnp.moveaxis(Xs, 0, 1)
-    obs = jnp.moveaxis(obs, 0, 1)
-    alive = jnp.moveaxis(alive, 0, 1)
+    init = (jnp.int32(0), seeds.seg, seeds.t, seeds.xy, seeds.X,
+            seeds.valid & dir_ok, Xs0, obs0, alive0)
+    (_, fseg, ft, _, _, _, Xs, obs, alive) = jax.lax.while_loop(
+        cond_fn, body_fn, init)
     # restore the caller's tuple-view order
     obs = jnp.take_along_axis(obs, inv_perm[:, None, :, None], axis=2)
     fseg = jnp.take_along_axis(fseg, inv_perm, axis=1)

@@ -367,6 +367,14 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
             seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
             ctx.F_table, cfg, cfg.max_follow_steps)
         total = np.array(total)
+        # alive masks are prefix-contiguous (a dead chain stays dead), so
+        # transferring past the longest chain moves only zeros
+        n_used = max(int(np.asarray(fwd.n_steps).max(initial=0)),
+                     int(np.asarray(bwd.n_steps).max(initial=0)), 1)
+        fwd = fwd._replace(X=fwd.X[:, :n_used], obs_xy=fwd.obs_xy[:, :n_used],
+                           valid=fwd.valid[:, :n_used])
+        bwd = bwd._replace(X=bwd.X[:, :n_used], obs_xy=bwd.obs_xy[:, :n_used],
+                           valid=bwd.valid[:, :n_used])
         keep_seed = (total >= cfg.new_point_min_steps) & np.array(seeds.valid)
 
         # claim swept arcs on all tuple views

@@ -89,6 +89,7 @@ def fundamental_from_cameras(P1: jnp.ndarray, P2: jnp.ndarray,
     return F / jnp.where(scale < 1e-20, 1.0, scale)
 
 
+@jax.jit
 def all_fundamental_matrices(P: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
     """All-pairs F table [C,C,3,3]; F[i,j] maps view-i points to view-j
     lines (parity: generate_all_fundamental_matrices,

@@ -89,6 +89,8 @@ def triangulate_pair_minmax(P_obs: jnp.ndarray, xy: jnp.ndarray,
 # Batched Gauss-Newton
 # ----------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("max_iters", "epsilon", "accept_mse",
+                                   "det_min"))
 def gauss_newton_batched(
     P_obs: jnp.ndarray,      # [N, O, 3, 4] per-observation cameras
     xy: jnp.ndarray,         # [N, O, 2]    observed 2D points
@@ -133,8 +135,16 @@ def gauss_newton_batched(
         Jy = (p1 * zH[..., None] - p2 * yH[..., None]) / z2
         return jnp.stack([Jx, Jy], axis=-2)            # [N,O,2,3]
 
-    def body(_, carry):
-        X, last_mse, frozen, singular = carry
+    def cond(carry):
+        # EARLY EXIT: stop when every point is frozen (converged) or
+        # singular — the freeze mask makes further iterations no-ops, so
+        # skipping them is exact, and typical batches converge in well
+        # under max_iters sequential steps.
+        i, X, last_mse, frozen, singular = carry
+        return (i < max_iters) & ~jnp.all(frozen | singular)
+
+    def body(carry):
+        i, X, last_mse, frozen, singular = carry
         r, mse = residuals_mse(X)
         conv = jnp.abs(mse - last_mse) < epsilon
         now_frozen = frozen | conv
@@ -154,12 +164,12 @@ def gauss_newton_batched(
         X_new = jnp.where(step_ok[:, None], X + dX, X)
         last_new = jnp.where(now_frozen, last_mse, mse)
         singular = singular | (bad & ~now_frozen)
-        return X_new, last_new, now_frozen, singular
+        return i + 1, X_new, last_new, now_frozen, singular
 
     zero = jnp.zeros(X0.shape[0], dtype=dtype)
     frozen0 = jnp.zeros(X0.shape[0], dtype=bool)
-    X, last_mse, _, singular = jax.lax.fori_loop(
-        0, max_iters, body, (X0, zero, frozen0, frozen0))
+    _, X, last_mse, _, singular = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X0, zero, frozen0, frozen0))
     valid = (~singular) & (last_mse < accept_mse) & (jnp.sum(mask, axis=-1) >= 2)
     return X, last_mse, valid
 
