@@ -51,8 +51,8 @@ from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched, \
 # ----------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("M",))
-def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
-                     within_dist: float):
+def _close_polylines_chunk(plg_coords, grids, cell: float, obs_xy,
+                           M: int, within_dist: float):
     """For every (refpoint, view): top-M distinct polylines within
     `within_dist` of the observation.  obs_xy [N,V,2]."""
     N, V = obs_xy.shape[:2]
@@ -64,6 +64,24 @@ def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
         return jax.vmap(q)(obs_xy[:, v])
     cand = jax.lax.map(per_view, jnp.arange(V))
     return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), cand)  # [N,V,M]
+
+
+def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
+                     within_dist: float, chunk: int = 256):
+    """Fixed-size chunks over refpoints so the device program's shape is
+    independent of the refpoint count (compile reuse across runs)."""
+    obs_np = np.asarray(obs_xy)
+    N = len(obs_np)
+    outs = []
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        pad = chunk - (hi - lo)
+        ox = jnp.asarray(np.pad(obs_np[lo:hi],
+                                ((0, pad), (0, 0), (0, 0))))
+        res = _close_polylines_chunk(plg_coords, grids, cell, ox, M,
+                                     within_dist)
+        outs.append(jax.tree.map(lambda a: np.asarray(a)[: hi - lo], res))
+    return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
 
 
 # ----------------------------------------------------------------------

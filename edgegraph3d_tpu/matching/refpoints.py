@@ -51,7 +51,12 @@ from edgegraph3d_tpu.plgs.polyline_graph import PLGStack
 
 @dataclass
 class MatchingContext:
-    """Device-resident inputs shared by all matching stages."""
+    """Device-resident inputs shared by all matching stages.
+
+    With `mesh` set (a 1-D `jax.sharding.Mesh`), every sweep shards its
+    work-item axis (refpoints / seeds / 3D points) over the mesh devices
+    and replicates these context tensors — the TPU-native replacement of
+    the reference's OpenMP refpoint loop (SURVEY.md §2.10)."""
     plg_coords: jnp.ndarray    # [V,P,L,2]
     plg_length: jnp.ndarray    # [V,P]
     grids: jnp.ndarray         # [V,GH,GW,K,2]
@@ -59,17 +64,22 @@ class MatchingContext:
     F_table: jnp.ndarray       # [V,V,3,3]
     cell: float
     config: EdgeGraphConfig
+    mesh: object = None        # jax.sharding.Mesh | None
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.size if self.mesh is not None else 1
 
 
 def build_context(sfmd: SfMData, stack: PLGStack,
                   config: EdgeGraphConfig = DEFAULT_CONFIG,
-                  cell: float = 10.0) -> MatchingContext:
+                  cell: float = 10.0, mesh=None) -> MatchingContext:
     dtype = jnp.float32 if config.dtype == "float32" else jnp.float64
     P_mats = jnp.asarray(sfmd.P, dtype)
     F = all_fundamental_matrices(P_mats, jnp.asarray(sfmd.center, dtype))
     grids = build_grids(stack, sfmd.widths, sfmd.heights, cell,
                         config.grid_cell_capacity)
-    return MatchingContext(
+    ctx = MatchingContext(
         plg_coords=jnp.asarray(stack.coords, dtype),
         plg_length=jnp.asarray(stack.length),
         grids=jnp.asarray(grids),
@@ -77,7 +87,17 @@ def build_context(sfmd: SfMData, stack: PLGStack,
         F_table=F,
         cell=cell,
         config=config,
+        mesh=mesh,
     )
+    if mesh is not None:
+        # pin the replicated context on the mesh once so per-chunk sweeps
+        # do not re-broadcast it
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        for f in ("plg_coords", "plg_length", "grids", "P_mats",
+                  "F_table"):
+            setattr(ctx, f, jax.device_put(getattr(ctx, f), rep))
+    return ctx
 
 
 def dense_observations(sfmd: SfMData, dtype=np.float32):
@@ -288,6 +308,7 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
     """Phase A: form + host-compact seeds for all refpoints."""
     cfg = ctx.config
     M = cfg.max_candidates_per_view
+    refpoint_chunk = -(-refpoint_chunk // ctx.n_shards) * ctx.n_shards
     obs_xy, obs_mask = dense_observations(sfmd)
     N = len(obs_xy)
     start_mask = obs_mask.copy()
@@ -303,10 +324,17 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
         ox = np.pad(obs_xy[lo:hi], ((0, pad), (0, 0), (0, 0)))
         om = np.pad(obs_mask[lo:hi], ((0, pad), (0, 0)))
         sm = np.pad(start_mask[lo:hi], ((0, pad), (0, 0)))
-        out = _seed_sweep(ctx.plg_coords, ctx.plg_length, ctx.grids,
-                          ctx.P_mats, ctx.F_table, ctx.cell,
-                          jnp.asarray(ox), jnp.asarray(om),
-                          jnp.asarray(sm), M, cfg)
+        if ctx.mesh is not None:
+            from edgegraph3d_tpu.parallel import sharded
+            out = sharded.sharded_seed_sweep(
+                ctx.mesh, ctx.plg_coords, ctx.plg_length, ctx.grids,
+                ctx.P_mats, ctx.F_table, ctx.cell, jnp.asarray(ox),
+                jnp.asarray(om), jnp.asarray(sm), M, cfg)
+        else:
+            out = _seed_sweep(ctx.plg_coords, ctx.plg_length, ctx.grids,
+                              ctx.P_mats, ctx.F_table, ctx.cell,
+                              jnp.asarray(ox), jnp.asarray(om),
+                              jnp.asarray(sm), M, cfg)
         valid = np.array(out["valid"])
         idx = np.argwhere(valid)
         if len(idx) == 0:
@@ -332,6 +360,7 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
     orders) or None."""
     cfg = ctx.config
     V = ctx.P_mats.shape[0]
+    seed_chunk = -(-seed_chunk // ctx.n_shards) * ctx.n_shards
     # within-batch seed dedup: one seed per starting-interval bucket
     # (parity: the reference skips seeds on already-matched intervals,
     # polyline_matching.cpp:173-190)
@@ -363,9 +392,15 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
             cams=padded("cams"), pl_id=padded("pl_id"), seg=padded("seg"),
             t=padded("t"), xy=padded("xy"), X=padded("X"),
             valid=jnp.asarray(np.pad(fresh, (0, pad))))
-        fwd, bwd, total = following.follow_seeds_bidirectional(
-            seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
-            ctx.F_table, cfg, cfg.max_follow_steps)
+        if ctx.mesh is not None:
+            from edgegraph3d_tpu.parallel import sharded
+            fwd, bwd, total = sharded.sharded_follow_bidirectional(
+                ctx.mesh, seeds, ctx.plg_coords, ctx.plg_length,
+                ctx.P_mats, ctx.F_table, cfg, cfg.max_follow_steps)
+        else:
+            fwd, bwd, total = following.follow_seeds_bidirectional(
+                seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
+                ctx.F_table, cfg, cfg.max_follow_steps)
         total = np.array(total)
         # alive masks are prefix-contiguous (a dead chain stays dead), so
         # transferring past the longest chain moves only zeros
@@ -432,14 +467,20 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
     Np = len(X)
     obs_xy = np.zeros((Np, V, 2), dtype=np.float32)
     obs_mask = np.zeros((Np, V), dtype=bool)
-    chunk = 4096
+    chunk = -(-4096 // ctx.n_shards) * ctx.n_shards
     for lo in range(0, Np, chunk):
         hi = min(lo + chunk, Np)
         pad = chunk - (hi - lo)
         Xc = jnp.asarray(np.pad(X[lo:hi].astype(np.float32),
                                 ((0, pad), (0, 0))))
-        exy, eok = _expand_sweep(ctx.plg_coords, ctx.grids, ctx.P_mats,
-                                 ctx.cell, Xc, cfg)
+        if ctx.mesh is not None:
+            from edgegraph3d_tpu.parallel import sharded
+            exy, eok = sharded.sharded_expand(
+                ctx.mesh, ctx.plg_coords, ctx.grids, ctx.P_mats,
+                ctx.cell, Xc, cfg)
+        else:
+            exy, eok = _expand_sweep(ctx.plg_coords, ctx.grids,
+                                     ctx.P_mats, ctx.cell, Xc, cfg)
         obs_xy[lo:hi] = np.asarray(exy)[: hi - lo]
         obs_mask[lo:hi] = np.asarray(eok)[: hi - lo]
     # tuple views: exact tracked coordinates override the expansion

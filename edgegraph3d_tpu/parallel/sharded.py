@@ -7,6 +7,16 @@ pieces; the 6Vx6V camera system and the scalar residual are reduced with
 `jax.lax.psum` over ICI; the tiny camera solve is replicated; point
 updates stay local.  Per-point GN (no camera coupling) needs no
 collectives at all — sharding the batch axis is enough.
+
+The reconstruction sweeps (seed formation, bidirectional following,
+all-view expansion) are the TPU-native replacement of the reference's
+OpenMP loop over refpoints (reference:
+plg_matching_from_refpoints.cpp:89-95): the work-item axis (refpoints /
+seeds / 3D points) is sharded over the mesh, PLG tensors and grids are
+replicated, and there is NO cross-device traffic inside a sweep — each
+device's early-exit `while_loop` terminates independently.  Claim /
+dedup merging (the reference's single `omp_lock`) happens on host
+between chunked sweeps in deterministic seed order.
 """
 
 from __future__ import annotations
@@ -85,3 +95,75 @@ def sharded_gauss_newton(mesh, P_obs, xy, mask, X0, **kw):
                    out_specs=(sh, sh, sh),
                    check_vma=False)
     return fn(P_obs, xy, mask, X0)
+
+
+# ----------------------------------------------------------------------
+# Sharded reconstruction sweeps (refpoints / seeds / points over devices)
+# ----------------------------------------------------------------------
+
+def sharded_seed_sweep(mesh, plg_coords, plg_length, grids, P_mats,
+                       F_table, cell, obs_xy, obs_mask, start_mask,
+                       M: int, cfg):
+    """Seed formation with the refpoint axis sharded over the mesh.
+
+    TPU-native replacement of `#pragma omp for` over refpoints
+    (reference: plg_matching_from_refpoints.cpp:89-95): each device forms
+    seeds for its slice of refpoints against replicated PLG/grid tensors;
+    no collectives are needed."""
+    from edgegraph3d_tpu.matching import refpoints as refpoints_mod
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+
+    def local(obs_xy, obs_mask, start_mask, plg_coords, plg_length,
+              grids, P_mats, F_table):
+        return refpoints_mod._seed_sweep(
+            plg_coords, plg_length, grids, P_mats, F_table, cell,
+            obs_xy, obs_mask, start_mask, M, cfg)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(sh, sh, sh, rep, rep, rep, rep, rep),
+                   out_specs=sh, check_vma=False)
+    return fn(obs_xy, obs_mask, start_mask, plg_coords, plg_length,
+              grids, P_mats, F_table)
+
+
+def sharded_follow_bidirectional(mesh, seeds, plg_coords, plg_length,
+                                 P_mats, F_table, cfg, max_steps: int):
+    """Bidirectional chain following with the seed axis sharded.
+
+    Each device sweeps its slice with its own early-exit `while_loop`
+    (devices terminate independently — no synchronization inside the
+    walk), replacing the reference's sequential per-seed recursion
+    (plg_matching.cpp:765-795)."""
+    from edgegraph3d_tpu.matching import following
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+
+    def local(seeds, plg_coords, plg_length, P_mats, F_table):
+        return following.follow_seeds_bidirectional(
+            seeds, plg_coords, plg_length, P_mats, F_table, cfg,
+            max_steps)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(sh, rep, rep, rep, rep),
+                   out_specs=sh, check_vma=False)
+    return fn(seeds, plg_coords, plg_length, P_mats, F_table)
+
+
+def sharded_expand(mesh, plg_coords, grids, P_mats, cell, X, cfg):
+    """All-view expansion with the 3D-point axis sharded."""
+    from edgegraph3d_tpu.matching import refpoints as refpoints_mod
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+
+    def local(X, plg_coords, grids, P_mats):
+        return refpoints_mod._expand_sweep(plg_coords, grids, P_mats,
+                                           cell, X, cfg)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(sh, rep, rep, rep),
+                   out_specs=sh, check_vma=False)
+    return fn(X, plg_coords, grids, P_mats)

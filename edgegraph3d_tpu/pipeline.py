@@ -131,8 +131,12 @@ def run_pipeline(
     max_starting_views: int | None = None,
     stats: PipelineStats | None = None,
     stages=(1, 2, 3),
+    mesh=None,
 ) -> sfm_io.SfMData:
-    """In-memory pipeline: returns the filtered, edge-augmented scene."""
+    """In-memory pipeline: returns the filtered, edge-augmented scene.
+
+    With `mesh` (a 1-D `jax.sharding.Mesh`) every device sweep shards its
+    work-item axis over the mesh (parallel/sharded.py)."""
     stats = stats if stats is not None else PipelineStats()
 
     t0 = time.time()
@@ -152,7 +156,7 @@ def run_pipeline(
     stats.log("plg_extraction", t0, int((stack.length >= 2).sum()))
 
     t0 = time.time()
-    ctx = refpoints_mod.build_context(sfmd, stack, config)
+    ctx = refpoints_mod.build_context(sfmd, stack, config, mesh=mesh)
     stats.log("context(F+grids)", t0)
 
     pts = reconstruct_all_stages(sfmd, ctx, stats, stages,
