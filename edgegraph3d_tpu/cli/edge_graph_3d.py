@@ -32,11 +32,8 @@ def main(argv=None):
     out = edge_matching(args.images_folder, args.edges_folder,
                         args.working_folder, args.sfm_data_file,
                         args.output_json,
-                        max_starting_views=args.max_starting_views)
-    if args.debug_images:
-        import os
-        from edgegraph3d_tpu.utils.drawing import save_debug_images
-        save_debug_images(out, args.working_folder)
+                        max_starting_views=args.max_starting_views,
+                        debug_images=args.debug_images)
     print(f"Wrote {out.n_points} points to {args.output_json}")
     return 0
 

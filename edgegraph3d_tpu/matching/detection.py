@@ -39,26 +39,31 @@ class Candidates(NamedTuple):
 
 def _topm_distinct(pl_ids: jnp.ndarray, dist: jnp.ndarray, seg: jnp.ndarray,
                    t: jnp.ndarray, xy: jnp.ndarray, M: int) -> Candidates:
-    """Select the M closest candidates with distinct polyline ids."""
-    C = pl_ids.shape[0]
-    order = jnp.argsort(dist)
-    pls = pl_ids[order]
-    ds = dist[order]
-    # first occurrence of each polyline id in sorted order
-    eq = pls[:, None] == pls[None, :]
-    earlier = jnp.any(jnp.tril(eq, k=-1), axis=1)
-    firsts = (~earlier) & (ds < BIG / 2) & (pls >= 0)
-    rank = jnp.cumsum(firsts) - 1
-    slot = jnp.where(firsts & (rank < M), rank, M)
-    scatter = lambda src, fill: jnp.full((M + 1,) + src.shape[1:], fill,
-                                         src.dtype).at[slot].set(src)[:M]
+    """Select the M closest candidates with distinct polyline ids.
+
+    M successive masked argmins (O(M*C) per query) — each round takes
+    the closest remaining candidate and suppresses its whole polyline.
+    """
+    sel_pl, sel_seg, sel_t, sel_xy, sel_d, sel_ok = [], [], [], [], [], []
+    d = dist
+    for _ in range(M):
+        i = jnp.argmin(d)
+        di = d[i]
+        sel_pl.append(pl_ids[i])
+        sel_seg.append(seg[i])
+        sel_t.append(t[i])
+        sel_xy.append(xy[i])
+        sel_d.append(di)
+        sel_ok.append((di < BIG / 2) & (pl_ids[i] >= 0))
+        d = jnp.where(pl_ids == pl_ids[i], BIG, d)
+    ok = jnp.stack(sel_ok)
     return Candidates(
-        pl_id=scatter(pls, -1),
-        seg=scatter(seg[order], 0),
-        t=scatter(t[order], 0.0),
-        xy=scatter(xy[order], 0.0),
-        dist=scatter(ds, BIG),
-        valid=scatter(firsts, False),
+        pl_id=jnp.where(ok, jnp.stack(sel_pl), -1),
+        seg=jnp.where(ok, jnp.stack(sel_seg), 0),
+        t=jnp.where(ok, jnp.stack(sel_t), 0.0),
+        xy=jnp.where(ok[:, None], jnp.stack(sel_xy), 0.0),
+        dist=jnp.where(ok, jnp.stack(sel_d), BIG),
+        valid=ok,
     )
 
 

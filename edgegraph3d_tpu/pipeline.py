@@ -66,7 +66,8 @@ def edge_points_to_obs_lists(pts: refpoints_mod.EdgePoints):
 
 def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
                            stages=(1, 2, 3),
-                           max_starting_views: int | None = None):
+                           max_starting_views: int | None = None,
+                           debug: dict | None = None):
     """Run the enabled reconstruction stages with one shared interval
     manager (parity: edge_reconstruction_pipeline, pipelines.cpp:201-248
     — stage 1 similarity, stage 2 closeness, stage 3 refpoints, each
@@ -94,11 +95,15 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
         t0 = time.time()
         groups1 = polyline_stages.similarity_match_sets(sfmd, ctx)
         stats.log("stage1_similarity_graph", t0, len(groups1))
+        if debug is not None:
+            debug["groups1"] = groups1
         run_group_stage("stage1_sweep", groups1, 0)
     if 2 in stages:
         t0 = time.time()
         groups2 = polyline_stages.closeness_match_sets(sfmd, ctx)
         stats.log("stage2_closeness_graph", t0, len(groups2))
+        if debug is not None:
+            debug["groups2"] = groups2
         run_group_stage("stage2_sweep", groups2, 10 ** 7)
     if 3 in stages:
         t0 = time.time()
@@ -132,6 +137,7 @@ def run_pipeline(
     stats: PipelineStats | None = None,
     stages=(1, 2, 3),
     mesh=None,
+    debug_images: bool = False,
 ) -> sfm_io.SfMData:
     """In-memory pipeline: returns the filtered, edge-augmented scene.
 
@@ -159,8 +165,9 @@ def run_pipeline(
     ctx = refpoints_mod.build_context(sfmd, stack, config, mesh=mesh)
     stats.log("context(F+grids)", t0)
 
+    debug: dict | None = {} if debug_images else None
     pts = reconstruct_all_stages(sfmd, ctx, stats, stages,
-                                 max_starting_views)
+                                 max_starting_views, debug=debug)
 
     t0 = time.time()
     keep = density_filter(pts.obs_xy, pts.obs_mask,
@@ -188,6 +195,19 @@ def run_pipeline(
     filtered = filter_sfm_data(augmented, first_edgepoint,
                                gn_max_mse=config.filter_gn_max_mse)
     stats.log("outlier_filter", t0, filtered.n_points)
+
+    if debug_images and working_folder:
+        # full -i debug suite (parity: edge_matcher.cpp:89-96,138-143)
+        from edgegraph3d_tpu.utils.drawing import save_debug_images
+        t0 = time.time()
+        save_debug_images(
+            filtered, working_folder, stack=stack,
+            first_edgepoint=first_edgepoint, rgb_images=edge_images,
+            groups_stage1=(debug or {}).get("groups1"),
+            groups_stage2=(debug or {}).get("groups2"),
+            F_table=np.asarray(ctx.F_table),
+            epipolar_refpoints=range(0, min(3, sfmd.n_points)))
+        stats.log("debug_images", t0)
     return filtered
 
 
@@ -195,7 +215,8 @@ def edge_matching(images_folder: str, edges_folder: str,
                   working_folder: str, sfm_data_file: str,
                   output_json: str,
                   config: EdgeGraphConfig = DEFAULT_CONFIG,
-                  max_starting_views: int | None = None) -> sfm_io.SfMData:
+                  max_starting_views: int | None = None,
+                  debug_images: bool = False) -> sfm_io.SfMData:
     """File-level entry (parity: edge_matching, edge_matcher.cpp:61-146).
 
     `images_folder` is accepted for interface parity (RGB images are only
@@ -204,7 +225,8 @@ def edge_matching(images_folder: str, edges_folder: str,
     sfmd = sfm_io.read_sfm_data(sfm_data_file)
     edge_images = load_edge_images(edges_folder, sfmd.image_paths)
     out = run_pipeline(sfmd, edge_images, config, working_folder,
-                       max_starting_views, stats)
+                       max_starting_views, stats,
+                       debug_images=debug_images)
     sfm_io.write_sfm_data(out, output_json)
     print(stats.report())
     return out

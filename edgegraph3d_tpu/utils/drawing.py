@@ -1,10 +1,21 @@
 """Debug-image rendering.
 
-Compact equivalent of the reference's drawing utilities
-(reference: src/edgegraph3d/utils/drawing_utilities.cpp:53-1191 — PLGs
-colored by polyline, reprojected output points, match visualizations;
-saved under the working folder when `-i` is passed,
-edge_matcher.cpp:89-96,138-143)."""
+Equivalent of the reference's drawing utilities
+(reference: src/edgegraph3d/utils/drawing_utilities.cpp:53-1191,
+include/edgegraph3d/utils/drawing_utilities.hpp:185-259), saved under
+the working folder when `-i` is passed (edge_matcher.cpp:89-96,138-143;
+pipelines.cpp:84-89,128-135):
+
+  plgs_imgs_*        PLGs colored per polyline        (draw_plgs)
+  plgs_comp_*        PLGs colored per component       (draw_plgs by comp)
+  pmsg_* / pmctr_*   stage-1 / stage-2 match sets     (pipelines.cpp:84,128)
+  output_on_imgs_*   reprojected output points on RGB (edge_matcher.cpp:138)
+  output_on_plgs_*   reprojected output over the PLGs (edge_matcher.cpp:141)
+  epipolar_*         refpoint + epipolar-line process (draw_*epipolar*)
+
+All rasterization is plain numpy on host — these are offline debug
+artifacts, not a compute path.
+"""
 
 from __future__ import annotations
 
@@ -19,7 +30,12 @@ from edgegraph3d_tpu.plgs.polyline_graph import PLGStack
 _PALETTE = np.asarray([
     [230, 80, 80], [80, 200, 90], [90, 120, 240], [240, 200, 70],
     [200, 90, 220], [80, 210, 210], [240, 140, 60], [150, 230, 90],
+    [240, 90, 150], [110, 110, 240], [90, 230, 160], [230, 230, 110],
 ], dtype=np.uint8)
+
+
+def _color(i: int) -> np.ndarray:
+    return _PALETTE[int(i) % len(_PALETTE)]
 
 
 def _draw_line(img: np.ndarray, a, b, color) -> None:
@@ -42,44 +58,167 @@ def _draw_cross(img: np.ndarray, xy, color, r: int = 2) -> None:
             img[y, x + d] = color
 
 
-def draw_plgs(stack: PLGStack, width: int, height: int) -> np.ndarray:
-    """[V,H,W,3] images of the polyline graphs, colored per polyline
-    (parity: draw_plgs, drawing_utilities.hpp:185)."""
+def _draw_circle(img: np.ndarray, xy, radius: float, color) -> None:
+    h, w = img.shape[:2]
+    n = max(int(2 * np.pi * radius), 8)
+    ang = np.linspace(0, 2 * np.pi, n)
+    xs = np.round(xy[0] + radius * np.cos(ang)).astype(int)
+    ys = np.round(xy[1] + radius * np.sin(ang)).astype(int)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[ok], xs[ok]] = color
+
+
+def _draw_infinite_line(img: np.ndarray, line, color) -> None:
+    """line = (a, b, c) with ax + by + c = 0, clipped to the image."""
+    h, w = img.shape[:2]
+    a, b, c = float(line[0]), float(line[1]), float(line[2])
+    pts = []
+    if abs(b) > 1e-12:
+        for x in (0.0, w - 1.0):
+            y = -(a * x + c) / b
+            if -1 <= y <= h:
+                pts.append((x, y))
+    if abs(a) > 1e-12:
+        for y in (0.0, h - 1.0):
+            x = -(b * y + c) / a
+            if -1 <= x <= w:
+                pts.append((x, y))
+    if len(pts) >= 2:
+        _draw_line(img, pts[0], pts[-1], color)
+
+
+def _draw_polyline(img: np.ndarray, coords: np.ndarray, color) -> None:
+    for k in range(len(coords) - 1):
+        _draw_line(img, coords[k], coords[k + 1], color)
+
+
+def _base_images(sfmd: SfMData, rgb_images: np.ndarray | None,
+                 width: int, height: int) -> np.ndarray:
+    V = sfmd.n_cameras
+    if rgb_images is not None:
+        imgs = np.asarray(rgb_images)
+        if imgs.ndim == 3:          # grayscale / binary stack
+            imgs = np.repeat(imgs[..., None], 3, axis=-1)
+        if imgs.dtype != np.uint8:
+            imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+        return imgs.copy()
+    return np.zeros((V, height, width, 3), dtype=np.uint8)
+
+
+def draw_plgs(stack: PLGStack, width: int, height: int,
+              color_by: str = "polyline") -> np.ndarray:
+    """[V,H,W,3] images of the polyline graphs, colored per polyline or
+    per connected component (parity: draw_plgs,
+    drawing_utilities.hpp:185)."""
     V = stack.n_views
     out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    comp = None
+    if color_by == "component":
+        comp = [stack.view(v).components() for v in range(V)]
     for v in range(V):
         for p in np.flatnonzero(stack.valid[v]):
-            color = _PALETTE[p % len(_PALETTE)]
+            key = comp[v][p] if comp is not None else p
             c = stack.coords[v, p, : stack.length[v, p]]
-            for k in range(len(c) - 1):
-                _draw_line(out[v], c[k], c[k + 1], color)
+            _draw_polyline(out[v], c, _color(key))
     return out
 
 
 def draw_sfmd_points(sfmd: SfMData, width: int, height: int,
-                     first_point: int = 0) -> np.ndarray:
+                     first_point: int = 0,
+                     rgb_images: np.ndarray | None = None) -> np.ndarray:
     """Reprojections of points [first_point:] on every view (parity:
     draw_sfmd_points*, drawing_utilities.hpp:251)."""
-    V = sfmd.n_cameras
-    out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    out = _base_images(sfmd, rgb_images, width, height)
     for i in range(first_point, sfmd.n_points):
-        color = _PALETTE[i % len(_PALETTE)]
+        color = _color(i)
         for c, xy in zip(sfmd.obs_cam[i],
                          np.asarray(sfmd.obs_xy[i]).reshape(-1, 2)):
             _draw_cross(out[int(c)], xy, color)
     return out
 
 
+def draw_match_sets(groups, stack: PLGStack, width: int,
+                    height: int) -> np.ndarray:
+    """Stage-1/2 match visualization: every (view, polyline) of a match
+    set shares one color across views (parity: the pmsg_* / pmctr_*
+    images, pipelines.cpp:84-89,128-135)."""
+    V = stack.n_views
+    out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    for g, pairs in enumerate(groups):
+        color = _color(g)
+        for v, p in np.asarray(pairs):
+            if p < stack.coords.shape[1] and stack.valid[int(v), int(p)]:
+                c = stack.coords[int(v), int(p),
+                                 : stack.length[int(v), int(p)]]
+                _draw_polyline(out[int(v)], c, color)
+    return out
+
+
+def draw_epipolar_process(sfmd: SfMData, F_table: np.ndarray,
+                          refpoint: int, width: int, height: int,
+                          starting_dist: float = 10.0,
+                          stack: PLGStack | None = None) -> np.ndarray:
+    """One refpoint's detection geometry on every viewing cam: the
+    observation (cross), the search radius (circle), and the epipolar
+    lines induced by the other views' observations (parity: the
+    draw_*epipolar* family, drawing_utilities.hpp:200-240)."""
+    V = sfmd.n_cameras
+    base = (draw_plgs(stack, width, height) if stack is not None
+            else np.zeros((V, height, width, 3), dtype=np.uint8))
+    cams = [int(c) for c in sfmd.obs_cam[refpoint]]
+    obs = {int(c): np.asarray(xy) for c, xy in
+           zip(sfmd.obs_cam[refpoint],
+               np.asarray(sfmd.obs_xy[refpoint]).reshape(-1, 2))}
+    white = np.asarray([255, 255, 255], np.uint8)
+    for v in cams:
+        for u in cams:
+            if u == v:
+                continue
+            xh = np.asarray([obs[u][0], obs[u][1], 1.0])
+            line = F_table[u, v] @ xh
+            _draw_infinite_line(base[v], line, _color(u))
+    for v in cams:   # query markers on top (epipolar lines pass through)
+        _draw_cross(base[v], obs[v], white, r=4)
+        _draw_circle(base[v], obs[v], starting_dist, white)
+    return base
+
+
 def save_debug_images(sfmd: SfMData, folder: str,
                       stack: PLGStack | None = None,
-                      first_edgepoint: int = 0) -> None:
+                      first_edgepoint: int = 0,
+                      rgb_images: np.ndarray | None = None,
+                      groups_stage1=None, groups_stage2=None,
+                      F_table: np.ndarray | None = None,
+                      epipolar_refpoints=()) -> None:
+    """Write the full `-i` debug-image suite into `folder`."""
     os.makedirs(folder, exist_ok=True)
     W = int(sfmd.widths.max())
     H = int(sfmd.heights.max())
-    if stack is not None:
-        for v, img in enumerate(draw_plgs(stack, W, H)):
+
+    def save(prefix, imgs):
+        for v, img in enumerate(imgs):
             Image.fromarray(img).save(
-                os.path.join(folder, f"plgs_imgs_{v:04d}.png"))
-    for v, img in enumerate(draw_sfmd_points(sfmd, W, H, first_edgepoint)):
-        Image.fromarray(img).save(
-            os.path.join(folder, f"output_on_imgs_{v:04d}.png"))
+                os.path.join(folder, f"{prefix}_{v:04d}.png"))
+
+    if stack is not None:
+        save("plgs_imgs", draw_plgs(stack, W, H))
+        save("plgs_comp", draw_plgs(stack, W, H, color_by="component"))
+        out_on_plgs = draw_plgs(stack, W, H)
+        for i in range(first_edgepoint, sfmd.n_points):
+            for c, xy in zip(sfmd.obs_cam[i],
+                             np.asarray(sfmd.obs_xy[i]).reshape(-1, 2)):
+                _draw_cross(out_on_plgs[int(c)], xy, [255, 255, 255])
+        save("output_on_plgs", out_on_plgs)
+    save("output_on_imgs",
+         draw_sfmd_points(sfmd, W, H, first_edgepoint, rgb_images))
+    if groups_stage1 and stack is not None:
+        save("pmsg", draw_match_sets(groups_stage1, stack, W, H))
+    if groups_stage2 and stack is not None:
+        save("pmctr", draw_match_sets(groups_stage2, stack, W, H))
+    if F_table is not None and stack is not None:
+        for r in epipolar_refpoints:
+            imgs = draw_epipolar_process(sfmd, np.asarray(F_table), r,
+                                         W, H, stack=stack)
+            for v, img in enumerate(imgs):
+                Image.fromarray(img).save(os.path.join(
+                    folder, f"epipolar_{r:05d}_{v:04d}.png"))
