@@ -88,10 +88,17 @@ def detect_starting_intersections(grid: jnp.ndarray, coords: jnp.ndarray,
 def detect_epipolar_correspondences(grid: jnp.ndarray, coords: jnp.ndarray,
                                     obs_pt: jnp.ndarray, line: jnp.ndarray,
                                     cell: float, radius: jnp.ndarray,
-                                    M: int, radius_cells: int = 2
+                                    M: int, radius_cells: int = 2,
+                                    exclude_parallel_cos: float | None = None
                                     ) -> Candidates:
     """Top-M distinct polylines intersecting the epipolar `line` within
-    `radius` of `obs_pt` (the refpoint's observation in this view)."""
+    `radius` of `obs_pt` (the refpoint's observation in this view).
+
+    With `exclude_parallel_cos`, intersections on segments quasi-parallel
+    to the epipolar line (|cos| above the threshold) are dropped — the
+    closest-only edge-manager behavior (parity: PLGEdgeManagerClosestOnly
+    exclude-parallel variants, plg_edge_manager_closest_only.cpp:199-300;
+    M=1 gives its closest-only selection)."""
     entries = gather_neighborhood(grid, obs_pt, cell, radius_cells)
     pl = entries[:, 0]
     sg = entries[:, 1]
@@ -105,6 +112,13 @@ def detect_epipolar_correspondences(grid: jnp.ndarray, coords: jnp.ndarray,
     parallel = jnp.abs(diff) < 1e-9
     s = jnp.where(parallel, 0.0, sa / jnp.where(parallel, 1.0, diff))
     crosses = ((sa * sb) <= 0.0) & ~parallel & (s >= 0.0) & (s <= 1.0)
+    if exclude_parallel_cos is not None:
+        # |cos(segment, line direction)|: line (a,b,c) is normalized, its
+        # direction is (-b, a)
+        ab = b - a
+        seg_len = jnp.maximum(jnp.linalg.norm(ab, axis=-1), 1e-12)
+        cos = jnp.abs(ab[:, 0] * (-line[1]) + ab[:, 1] * line[0]) / seg_len
+        crosses = crosses & (cos < exclude_parallel_cos)
     xy = a + s[:, None] * (b - a)
     d = jnp.linalg.norm(xy - obs_pt, axis=-1)
     d = jnp.where(ok & crosses & (d <= radius), d, BIG)
