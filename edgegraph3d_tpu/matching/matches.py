@@ -72,6 +72,20 @@ class MatchesManager:
         np.logical_or.at(self.raster, (view, pl), span)
 
 
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Checkpoint the matched-interval state (parity:
+        serialize_plgmm, plg_matches_manager.cpp:182-194)."""
+        np.savez_compressed(path, raster=self.raster, lengths=self.lengths)
+
+    @staticmethod
+    def load(path: str) -> "MatchesManager":
+        z = np.load(path)
+        mm = MatchesManager(z["lengths"], buckets=z["raster"].shape[-1])
+        mm.raster = z["raster"].astype(bool)
+        return mm
+
+
 def dedup_seed_keys(cams: np.ndarray, pl_id: np.ndarray, seg: np.ndarray,
                     t: np.ndarray, lengths: np.ndarray,
                     buckets: int = 64) -> np.ndarray:

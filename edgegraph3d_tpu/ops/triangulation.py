@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from edgegraph3d_tpu.ops.geometry import project
 from edgegraph3d_tpu.ops.linalg3 import smallest_eigvec4, solve3
@@ -194,3 +195,101 @@ def reprojection_mse(P_obs, xy, mask, X):
     r = (xy - pr) * mf[..., None]
     n = jnp.maximum(jnp.sum(mask, axis=-1), 1).astype(X.dtype)
     return jnp.sum(r * r, axis=(-2, -1)) / (2.0 * n)
+
+
+def add_observation_to_3d_points(
+    P_obs: jnp.ndarray, xy: jnp.ndarray, mask: jnp.ndarray,
+    X: jnp.ndarray, new_P: jnp.ndarray, new_xy: jnp.ndarray,
+    new_valid: jnp.ndarray | None = None, max_iters: int = 30,
+    epsilon: float = 5e-7, accept_mse: float = 9.0,
+):
+    """Add one observation per point to existing 3D estimates and
+    re-refine (parity: em_add_new_observation_to_3Dpositions,
+    triangulation.cpp:347-466 — warm-started from the current X rather
+    than re-triangulated, then full GN over old + new observations).
+
+    P_obs [N,O,3,4], xy [N,O,2], mask [N,O] — existing observations;
+    X [N,3] current estimates; new_P [N,3,4], new_xy [N,2] the added
+    observation (new_valid masks points that get no new observation).
+    Returns (X', mse, valid, mask') where mask' includes the new
+    observation in the first padded slot.
+    """
+    if new_valid is None:
+        new_valid = jnp.ones(X.shape[0], dtype=bool)
+    # place the new observation in each point's first free slot
+    free = ~mask                                           # [N,O]
+    first_free = jnp.argmax(free, axis=-1)                 # [N]
+    has_free = jnp.any(free, axis=-1)
+    put = new_valid & has_free
+    rows = jnp.arange(X.shape[0])
+    P2 = P_obs.at[rows, first_free].set(
+        jnp.where(put[:, None, None], new_P, P_obs[rows, first_free]))
+    xy2 = xy.at[rows, first_free].set(
+        jnp.where(put[:, None], new_xy, xy[rows, first_free]))
+    mask2 = mask.at[rows, first_free].set(mask[rows, first_free] | put)
+    Xr, mse, valid = gauss_newton_batched(
+        P2, xy2, mask2, X, max_iters=max_iters, epsilon=epsilon,
+        accept_mse=accept_mse)
+    return Xr, mse, valid, mask2
+
+
+def triangulate_view_combinations(
+    P_obs: jnp.ndarray, xy: jnp.ndarray, mask: jnp.ndarray,
+    min_views: int = 3, max_iters: int = 30, epsilon: float = 5e-7,
+    accept_mse: float = 9.0,
+):
+    """Best-subset triangulation + greedy re-expansion (parity:
+    compute_3d_point_coords_combinations, triangulation.cpp:1105-1158 —
+    the reference tries all view subsets of size >= 3 in decreasing
+    size until one yields an accepted GN point, then greedily re-adds
+    the excluded views one at a time, keeping each that stays valid).
+
+    TPU-native: all 2^O subset masks are a static tensor; every subset
+    is solved in ONE batched GN (subsets = the batch dimension), the
+    winner is selected by (max size, then min mse) — the same point the
+    reference's decreasing-size scan finds first — and the greedy
+    re-add is a static loop of O batched single-observation adds.
+
+    P_obs [O,3,4], xy [O,2], mask [O] (one point's candidate views).
+    Returns (X [3], mse, valid, used_mask [O]).
+    """
+    O = int(mask.shape[0])
+    # static subset enumeration (skip subsets smaller than min_views)
+    bits = np.arange(2 ** O, dtype=np.uint32)
+    table = ((bits[:, None] >> np.arange(O)) & 1).astype(bool)   # [S,O]
+    table = table[table.sum(axis=1) >= min_views]
+    if len(table) == 0:
+        z = jnp.zeros(3, P_obs.dtype)
+        return z, jnp.asarray(jnp.inf, P_obs.dtype), jnp.asarray(False), \
+            jnp.zeros(O, dtype=bool)
+    sub = jnp.asarray(table)                                     # [S,O]
+    m_sub = sub & mask[None, :]                                  # [S,O]
+    enough = jnp.sum(m_sub, axis=-1) >= min_views
+    S = sub.shape[0]
+    P_b = jnp.broadcast_to(P_obs[None], (S,) + P_obs.shape)
+    xy_b = jnp.broadcast_to(xy[None], (S,) + xy.shape)
+    cam_b = jnp.broadcast_to(jnp.arange(O, dtype=jnp.int32)[None], (S, O))
+    X_s, mse_s, ok_s = estimate_3d_positions(
+        P_b, xy_b, cam_b, m_sub, max_iters=max_iters, epsilon=epsilon,
+        accept_mse=accept_mse)
+    ok_s = ok_s & enough
+    size = jnp.sum(m_sub, axis=-1)
+    # reference order: largest subset first; tie-break by lowest mse
+    score = jnp.where(ok_s, size.astype(P_obs.dtype) * 1e6 - mse_s, -jnp.inf)
+    best = jnp.argmax(score)
+    any_ok = jnp.any(ok_s)
+    X = X_s[best]
+    used = m_sub[best] & any_ok
+    # greedy re-add of excluded views, in view order (parity :1146-1158)
+    for o in range(O):
+        excluded = mask[o] & ~used[o] & any_ok
+        Xr, mse_r, ok_r, _ = add_observation_to_3d_points(
+            P_obs[None], xy[None], used[None], X[None],
+            P_obs[None, o], xy[None, o],
+            new_valid=excluded[None], max_iters=max_iters,
+            epsilon=epsilon, accept_mse=accept_mse)
+        accept = excluded & ok_r[0]
+        X = jnp.where(accept, Xr[0], X)
+        used = used.at[o].set(used[o] | accept)
+    mse = reprojection_mse(P_obs[None], xy[None], used[None], X[None])[0]
+    return X, mse, any_ok, used
