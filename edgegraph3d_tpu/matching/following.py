@@ -250,6 +250,48 @@ def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
                         final_seg=fseg, final_t=ft)
 
 
+@partial(jax.jit, static_argnames=("min_steps", "cap"))
+def pack_follow_outputs(fwd: FollowResult, bwd: FollowResult,
+                        seed_valid: jnp.ndarray, min_steps: int, cap: int):
+    """Compact both directions' emitted chain points on device.
+
+    Returns (buf [cap, 11], n_emitted, meta [S, 13]) where each buf row
+    is [X(3), obs_xy(6), seed_idx(1), signed_order(1)] and meta rows are
+    [total_steps(1), fwd final_seg(3), fwd final_t(3), bwd final_seg(3),
+    bwd final_t(3)] — everything the host needs for interval claiming
+    and assembly in TWO transfers instead of ~20 padded ones (the
+    emitted points are a few percent of the padded [S, T] buffers; see
+    ops/compaction.py).
+    """
+    from edgegraph3d_tpu.ops.compaction import compact_rows
+
+    S, T = fwd.valid.shape
+    total = fwd.n_steps + bwd.n_steps
+    keep = seed_valid & (total >= min_steps)
+
+    def flat(res, sign):
+        val = (res.valid & keep[:, None]).reshape(-1)
+        sidx = jnp.broadcast_to(
+            jnp.arange(S, dtype=res.X.dtype)[:, None], (S, T))
+        order = sign * (jnp.broadcast_to(
+            jnp.arange(T, dtype=res.X.dtype)[None, :], (S, T)) + 1)
+        payload = jnp.concatenate(
+            [res.X, res.obs_xy.reshape(S, T, 6), sidx[..., None],
+             order[..., None]], axis=-1).reshape(S * T, 11)
+        return val, payload
+
+    v1, p1 = flat(fwd, 1.0)
+    v2, p2 = flat(bwd, -1.0)
+    buf, n = compact_rows(jnp.concatenate([v1, v2]),
+                          jnp.concatenate([p1, p2]), cap)
+    f = fwd.X.dtype
+    meta = jnp.concatenate(
+        [total.astype(f)[:, None],
+         fwd.final_seg.astype(f), fwd.final_t.astype(f),
+         bwd.final_seg.astype(f), bwd.final_t.astype(f)], axis=1)
+    return buf, n, meta
+
+
 def follow_seeds_bidirectional(seeds: SeedTuple, plg_coords, plg_length,
                                P_mats, F_table, cfg, max_steps: int):
     """Both driving directions (parity: follow_plgs_from_match* sweeping

@@ -376,14 +376,25 @@ def seeds_from_match_sets(groups: list[np.ndarray], ctx: MatchingContext,
             jnp.asarray(np.pad(pl[lo:hi], ((0, pad), (0, 0)))),
             jnp.asarray(np.pad(msk[lo:hi], ((0, pad), (0, 0)))),
             n_samples, cfg)
-        valid = np.array(out["valid"])
-        idx = np.argwhere(valid)
-        if len(idx) == 0:
+        # device-side compaction: 2 transfers per chunk (see
+        # ops/compaction.py — the tunnel moves ~30 MB/s)
+        from edgegraph3d_tpu.matching.refpoints import _pack_seed_outputs
+        from edgegraph3d_tpu.ops.compaction import to_host
+        cap = 16 * group_chunk
+        buf, n = _pack_seed_outputs(out, cap)
+        if int(n) > cap:    # dense chunk: repack at full width
+            buf, n = _pack_seed_outputs(
+                out, int(np.prod(out["valid"].shape)))
+        rows, n_int = to_host(buf, n)
+        if n_int == 0:
             continue
-        for k in acc:
-            arr = np.asarray(out[k])
-            acc[k].append(arr[idx[:, 0], idx[:, 1], idx[:, 2]])
-        grp_ids.append(lo + idx[:, 0])
+        acc["cams"].append(rows[:, 0:3].astype(np.int32))
+        acc["pl_id"].append(rows[:, 3:6].astype(np.int32))
+        acc["seg"].append(rows[:, 6:9].astype(np.int32))
+        acc["t"].append(rows[:, 9:12])
+        acc["xy"].append(rows[:, 12:18].reshape(-1, 3, 2))
+        acc["X"].append(rows[:, 18:21])
+        grp_ids.append(lo + rows[:, 21].astype(np.int64))
     if not grp_ids:
         return None, None
     return ({k: np.concatenate(v) for k, v in acc.items()},

@@ -302,6 +302,24 @@ def _empty_points(V: int) -> EdgePoints:
                       seed_refpoint=np.zeros(0, np.int64))
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _pack_seed_outputs(out: dict, cap: int):
+    """Compact valid seeds on device into one [cap, 22] buffer:
+    [cams(3), pl_id(3), seg(3), t(3), xy(6), X(3), refpoint_row(1)].
+    See ops/compaction.py for why (tunnel bandwidth)."""
+    from edgegraph3d_tpu.ops.compaction import compact_rows
+    N, V, M = out["valid"].shape
+    f = out["xy"].dtype
+    ridx = jnp.broadcast_to(jnp.arange(N, dtype=f)[:, None, None],
+                            (N, V, M))
+    payload = jnp.concatenate([
+        out["cams"].astype(f), out["pl_id"].astype(f),
+        out["seg"].astype(f), out["t"].astype(f),
+        out["xy"].reshape(N, V, M, 6), out["X"],
+        ridx[..., None]], axis=-1).reshape(N * V * M, 22)
+    return compact_rows(out["valid"].reshape(-1), payload, cap)
+
+
 def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
                   refpoint_chunk: int = 256,
                   max_starting_views: int | None = None):
@@ -335,14 +353,22 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
                               ctx.P_mats, ctx.F_table, ctx.cell,
                               jnp.asarray(ox), jnp.asarray(om),
                               jnp.asarray(sm), M, cfg)
-        valid = np.array(out["valid"])
-        idx = np.argwhere(valid)
-        if len(idx) == 0:
+        cap = 8 * refpoint_chunk
+        buf, n = _pack_seed_outputs(out, cap)
+        from edgegraph3d_tpu.ops.compaction import to_host
+        if int(n) > cap:    # rare dense chunk: repack at full width
+            buf, n = _pack_seed_outputs(
+                out, int(np.prod(out["valid"].shape)))
+        rows, n_int = to_host(buf, n)
+        if n_int == 0:
             continue
-        for k in seeds_acc:
-            arr = np.asarray(out[k])
-            seeds_acc[k].append(arr[idx[:, 0], idx[:, 1], idx[:, 2]])
-        seed_ref.append(lo + idx[:, 0])
+        seeds_acc["cams"].append(rows[:, 0:3].astype(np.int32))
+        seeds_acc["pl_id"].append(rows[:, 3:6].astype(np.int32))
+        seeds_acc["seg"].append(rows[:, 6:9].astype(np.int32))
+        seeds_acc["t"].append(rows[:, 9:12])
+        seeds_acc["xy"].append(rows[:, 12:18].reshape(-1, 3, 2))
+        seeds_acc["X"].append(rows[:, 18:21])
+        seed_ref.append(lo + rows[:, 21].astype(np.int64))
 
     if not seed_ref:
         return None, None
@@ -394,60 +420,61 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
             valid=jnp.asarray(np.pad(fresh, (0, pad))))
         if ctx.mesh is not None:
             from edgegraph3d_tpu.parallel import sharded
-            fwd, bwd, total = sharded.sharded_follow_bidirectional(
+            fwd, bwd, total_dev = sharded.sharded_follow_bidirectional(
                 ctx.mesh, seeds, ctx.plg_coords, ctx.plg_length,
                 ctx.P_mats, ctx.F_table, cfg, cfg.max_follow_steps)
         else:
-            fwd, bwd, total = following.follow_seeds_bidirectional(
+            fwd, bwd, total_dev = following.follow_seeds_bidirectional(
                 seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
                 ctx.F_table, cfg, cfg.max_follow_steps)
-        total = np.array(total)
-        # alive masks are prefix-contiguous (a dead chain stays dead), so
-        # transferring past the longest chain moves only zeros
-        n_used = max(int(np.asarray(fwd.n_steps).max(initial=0)),
-                     int(np.asarray(bwd.n_steps).max(initial=0)), 1)
-        fwd = fwd._replace(X=fwd.X[:, :n_used], obs_xy=fwd.obs_xy[:, :n_used],
-                           valid=fwd.valid[:, :n_used])
-        bwd = bwd._replace(X=bwd.X[:, :n_used], obs_xy=bwd.obs_xy[:, :n_used],
-                           valid=bwd.valid[:, :n_used])
-        keep_seed = (total >= cfg.new_point_min_steps) & np.array(seeds.valid)
+        # compact emitted points on device: 2 transfers per chunk
+        # instead of ~20 padded ones (the tunnel moves ~30 MB/s)
+        cap = 32 * seed_chunk
+        buf, n_emit, meta = following.pack_follow_outputs(
+            fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap)
+        meta = np.asarray(meta)
+        total = meta[:, 0].astype(np.int64)
+        keep_seed = (total >= cfg.new_point_min_steps) & np.pad(
+            fresh, (0, pad))
 
         # claim swept arcs on all tuple views
         ks_all = np.flatnonzero(keep_seed)
         ks_all = ks_all[ks_all < hi - lo]
-        cams_np = np.asarray(seeds.cams)
-        pl_np = np.asarray(seeds.pl_id)
-        seg_np = np.asarray(seeds.seg)
-        t_np = np.asarray(seeds.t)
-        for res in (fwd, bwd):
-            fs = np.array(res.final_seg)
-            ft = np.array(res.final_t)
+        cams_np = seeds_np["cams"][lo:hi]
+        pl_np = seeds_np["pl_id"][lo:hi]
+        seg_np = seeds_np["seg"][lo:hi]
+        t_np = seeds_np["t"][lo:hi]
+        for off in (1, 7):     # meta cols: fwd seg/t at 1:7, bwd at 7:13
+            fs = meta[:, off:off + 3]
+            ft = meta[:, off + 3:off + 6]
             for k in range(3):
                 manager.mark_spans(
                     cams_np[ks_all, k], pl_np[ks_all, k],
                     seg_np[ks_all, k], t_np[ks_all, k],
-                    fs[ks_all, k], ft[ks_all, k])
+                    fs[ks_all, k].astype(np.int64), ft[ks_all, k])
 
-        for res, sign, include_seedpt in ((fwd, 1, True), (bwd, -1, False)):
-            Xs = np.asarray(res.X)
-            obs = np.asarray(res.obs_xy)
-            val = np.asarray(res.valid) & keep_seed[:, None]
-            sidx, tidx = np.nonzero(val)
-            if len(sidx):
-                all_X.append(Xs[sidx, tidx])
-                all_obs3.append(obs[sidx, tidx])
-                all_cams3.append(cams_np[sidx])
-                all_ref.append(seed_ref[lo + sidx])
-                all_seed.append(lo + sidx)
-                all_order.append(sign * (tidx + 1))
-            if include_seedpt:
-                if len(ks_all):
-                    all_X.append(np.asarray(seeds.X)[ks_all])
-                    all_obs3.append(np.asarray(seeds.xy)[ks_all])
-                    all_cams3.append(cams_np[ks_all])
-                    all_ref.append(seed_ref[lo + ks_all])
-                    all_seed.append(lo + ks_all)
-                    all_order.append(np.zeros(len(ks_all), np.int64))
+        from edgegraph3d_tpu.ops.compaction import to_host
+        n_int = int(n_emit)
+        if n_int > cap:
+            raise RuntimeError(
+                f"follow output overflow: {n_int} > cap {cap}; raise "
+                "seed_chunk's cap multiplier")
+        rows, n_int = to_host(buf, n_emit)
+        if n_int:
+            sidx = rows[:, 9].astype(np.int64)
+            all_X.append(rows[:, 0:3].astype(np.float64))
+            all_obs3.append(rows[:, 3:9].reshape(-1, 3, 2))
+            all_cams3.append(cams_np[sidx])
+            all_ref.append(seed_ref[lo + sidx])
+            all_seed.append(lo + sidx)
+            all_order.append(rows[:, 10].astype(np.int64))
+        if len(ks_all):   # the seed points themselves (order 0)
+            all_X.append(seeds_np["X"][lo:hi][ks_all])
+            all_obs3.append(seeds_np["xy"][lo:hi][ks_all])
+            all_cams3.append(cams_np[ks_all])
+            all_ref.append(seed_ref[lo + ks_all])
+            all_seed.append(lo + ks_all)
+            all_order.append(np.zeros(len(ks_all), np.int64))
 
     if not all_X:
         return None
@@ -481,8 +508,13 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
         else:
             exy, eok = _expand_sweep(ctx.plg_coords, ctx.grids,
                                      ctx.P_mats, ctx.cell, Xc, cfg)
-        obs_xy[lo:hi] = np.asarray(exy)[: hi - lo]
-        obs_mask[lo:hi] = np.asarray(eok)[: hi - lo]
+        # one packed transfer per chunk (xy + mask): transfer count is
+        # what the tunnel charges for (see ops/compaction.py)
+        S = exy.shape[0]
+        packed = np.asarray(jnp.concatenate(
+            [exy.reshape(S, -1), eok.astype(exy.dtype)], axis=1))
+        obs_xy[lo:hi] = packed[: hi - lo, : V * 2].reshape(-1, V, 2)
+        obs_mask[lo:hi] = packed[: hi - lo, V * 2:] > 0.5
     # tuple views: exact tracked coordinates override the expansion
     for k in range(3):
         obs_xy[np.arange(Np), cams3[:, k]] = obs3[:, k]

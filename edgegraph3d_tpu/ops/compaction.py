@@ -1,0 +1,46 @@
+"""Device-side stream compaction for sparse results.
+
+The reconstruction sweeps produce big, mostly-empty result tensors
+(valid fractions of a few percent).  Device->host bandwidth through the
+TPU tunnel is the scarce resource (~30 MB/s with ~40 ms per transfer),
+so instead of shipping padded [S, T, ...] buffers to the host and
+compacting with numpy, valid rows are packed on device into one small
+f32 buffer (prefix-sum scatter) and a single slice is transferred.
+
+No reference counterpart — the reference is single-process shared
+memory (SURVEY.md §5 "Distributed communication backend": none); this
+is TPU-host plumbing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_rows(valid: jnp.ndarray, payload: jnp.ndarray, cap: int):
+    """Scatter payload rows where `valid` into a [cap, D] buffer.
+
+    valid [R], payload [R, D] -> (buf [cap, D], n_valid).  Rows keep
+    their relative order (prefix-sum positions).  On overflow
+    (n_valid > cap) the excess rows are dropped from the buffer but
+    n_valid still reports the true count so callers can detect it.
+    """
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    idx = jnp.where(valid & (pos < cap), pos, cap)
+    buf = jnp.zeros((cap + 1, payload.shape[-1]), payload.dtype)
+    buf = buf.at[idx].set(payload, mode="drop")
+    return buf[:cap], jnp.sum(valid.astype(jnp.int32))
+
+
+def to_host(buf, n) -> "tuple":
+    """Transfer the packed prefix only: one tiny sync for `n`, then a
+    single [n, D] device slice."""
+    import numpy as np
+    n = int(n)
+    if n == 0:
+        return np.zeros((0, buf.shape[-1]), buf.dtype), 0
+    return np.asarray(buf[: min(n, buf.shape[0])]), n
