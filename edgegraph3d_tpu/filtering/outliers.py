@@ -28,7 +28,8 @@ INVALID_FORCED_MIN_FILTER = -1
 
 
 def gauss_newton_filter(sfmd: SfMData, gn_max_mse: float = 2.25,
-                        max_iters: int = 30, chunk: int = 8192):
+                        max_iters: int = 30, chunk: int = 8192,
+                        epsilon: float = 5e-7):
     """Re-optimize all points; returns (new_points [N,3], inliers [N]).
 
     Parity: gaussNewtonFiltering (gauss_newton.cpp:136-178) — f32 GN,
@@ -57,7 +58,7 @@ def gauss_newton_filter(sfmd: SfMData, gn_max_mse: float = 2.25,
             jnp.asarray(P_obs), jnp.asarray(padded(packed.xy[lo:hi])),
             jnp.asarray(padded(packed.mask[lo:hi])),
             jnp.asarray(padded(sfmd.points[lo:hi].astype(np.float32))),
-            max_iters=max_iters, accept_mse=gn_max_mse)
+            max_iters=max_iters, accept_mse=gn_max_mse, epsilon=epsilon)
         ok = np.array(ok)[: hi - lo]
         X = np.array(X)[: hi - lo]
         inliers[lo:hi] = ok
@@ -84,12 +85,15 @@ def compute_ray_stats(sfmd: SfMData, inliers: np.ndarray):
 
 def compute_inliers(sfmd: SfMData, first_edgepoint: int,
                     gn_max_mse: float = 2.25,
-                    forced_min_filter: int = INVALID_FORCED_MIN_FILTER):
+                    forced_min_filter: int = INVALID_FORCED_MIN_FILTER,
+                    min_views_floor: int = 3, epsilon: float = 5e-7):
     """Parity: compute_inliers (outliers_filtering.cpp:37-64).
+    `min_views_floor` is FILTER_3VIEWS_AMOUNT (outliers_filtering.hpp:16).
     Returns (new_points, inliers)."""
-    new_pts, inliers = gauss_newton_filter(sfmd, gn_max_mse)
+    new_pts, inliers = gauss_newton_filter(sfmd, gn_max_mse,
+                                           epsilon=epsilon)
     _, median_bucket = compute_ray_stats(sfmd, inliers)
-    view_filter = max(3, median_bucket // 2 - 1)
+    view_filter = max(min_views_floor, median_bucket // 2 - 1)
     if forced_min_filter > INVALID_FORCED_MIN_FILTER:
         view_filter = forced_min_filter
     for i in range(first_edgepoint, sfmd.n_points):
@@ -99,12 +103,14 @@ def compute_inliers(sfmd: SfMData, first_edgepoint: int,
 
 def filter_sfm_data(sfmd: SfMData, first_edgepoint: int,
                     gn_max_mse: float = 2.25,
-                    forced_min_filter: int = INVALID_FORCED_MIN_FILTER
+                    forced_min_filter: int = INVALID_FORCED_MIN_FILTER,
+                    min_views_floor: int = 3, epsilon: float = 5e-7
                     ) -> SfMData:
     """Parity: filter() (outliers_filtering.cpp:94-114) — GN + view-count
     inliers, points updated to optimized coords, scene compacted."""
     new_pts, inliers = compute_inliers(sfmd, first_edgepoint, gn_max_mse,
-                                       forced_min_filter)
+                                       forced_min_filter, min_views_floor,
+                                       epsilon)
     out = sfmd.copy()
     out.points = new_pts
     return remove_outliers(out, inliers)

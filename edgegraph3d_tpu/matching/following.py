@@ -55,7 +55,8 @@ class FollowResult(NamedTuple):
 
 def _triangulate_tuple(P_cams: jnp.ndarray, xy: jnp.ndarray,
                        accept_mse: float, gn_iters: int,
-                       X_prev: jnp.ndarray | None = None):
+                       X_prev: jnp.ndarray | None = None,
+                       epsilon: float = 5e-7):
     """P_cams [S,3,3,4], xy [S,3,2] -> (X [S,3], ok [S]).
 
     With `X_prev` (the previous chain point, ~10 px of image motion
@@ -65,7 +66,8 @@ def _triangulate_tuple(P_cams: jnp.ndarray, xy: jnp.ndarray,
     X0 = triangulate_dlt(P_cams, xy, mask) if X_prev is None else X_prev
     X, mse, ok = gauss_newton_batched(P_cams, xy, mask, X0,
                                       max_iters=gn_iters,
-                                      accept_mse=accept_mse)
+                                      accept_mse=accept_mse,
+                                      epsilon=epsilon)
     return X, ok
 
 
@@ -113,7 +115,7 @@ def _one_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
     # 4. triangulate the new tuple
     gn_iters = cfg.follow_gn_iters if X_prev is not None else cfg.gn_max_iters
     X, tri_ok = _triangulate_tuple(P_cams, new_xy, cfg.match_gn_max_mse,
-                                   gn_iters, X_prev)
+                                   gn_iters, X_prev, cfg.gn_epsilon)
     ok = drive_ok & r1.found & r2.found & tri_ok
     return new_seg, new_t, new_xy, X, ok
 

@@ -313,7 +313,8 @@ def _group_seed_sweep(plg_coords, plg_length, P_mats, F_table,
     X0 = triangulate_dlt(flat_P, flat_xy, m3)
     X, mse, okt = gauss_newton_batched(flat_P, flat_xy, m3, X0,
                                        max_iters=cfg.gn_max_iters,
-                                       accept_mse=cfg.match_gn_max_mse)
+                                       accept_mse=cfg.match_gn_max_mse,
+                                       epsilon=cfg.gn_epsilon)
     X = X.reshape(G, K, n_samples, Mc, Mc, 3)
     okt = okt.reshape(G, K, n_samples, Mc, Mc)
     okt = okt & c1[3][..., :, None] & c2[3][..., None, :] \

@@ -207,7 +207,7 @@ def _seed_sweep(plg_coords, plg_length, grids, P_mats, F_table,
     X0 = triangulate_dlt(flat_P, flat_xy, mask3)
     X, mse, ok = gauss_newton_batched(
         flat_P, flat_xy, mask3, X0, max_iters=cfg.gn_max_iters,
-        accept_mse=cfg.match_gn_max_mse)
+        accept_mse=cfg.match_gn_max_mse, epsilon=cfg.gn_epsilon)
     X = X.reshape(N, V, M, M, M, 3)
     ok = ok.reshape(N, V, M, M, M)
     ok = ok & c1_ok[..., :, None] & c2_ok[..., None, :] \
@@ -432,6 +432,13 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
         cap = 32 * seed_chunk
         buf, n_emit, meta = following.pack_follow_outputs(
             fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap)
+        if int(n_emit) > cap:
+            # dense chunk: repack at full width (2 directions x S x T
+            # rows) like the seed-sweep call sites; checked BEFORE any
+            # interval claiming so the manager state stays consistent
+            cap = 2 * seed_chunk * cfg.max_follow_steps
+            buf, n_emit, meta = following.pack_follow_outputs(
+                fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap)
         meta = np.asarray(meta)
         total = meta[:, 0].astype(np.int64)
         keep_seed = (total >= cfg.new_point_min_steps) & np.pad(
@@ -454,11 +461,6 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
                     fs[ks_all, k].astype(np.int64), ft[ks_all, k])
 
         from edgegraph3d_tpu.ops.compaction import to_host
-        n_int = int(n_emit)
-        if n_int > cap:
-            raise RuntimeError(
-                f"follow output overflow: {n_int} > cap {cap}; raise "
-                "seed_chunk's cap multiplier")
         rows, n_int = to_host(buf, n_emit)
         if n_int:
             sidx = rows[:, 9].astype(np.int64)

@@ -212,4 +212,11 @@ def circle_segment_intersections(seg: jnp.ndarray, valid: jnp.ndarray,
     xy = jnp.concatenate(hits, axis=0)                   # [2S,2]
     dd = jnp.concatenate(dists, axis=0)
     seg2 = jnp.concatenate([seg, seg], axis=0)
-    return _top_m(dd, xy, seg2, M)
+    res = _top_m(dd, xy, seg2, M)
+    # the duplicated [2S] array puts second crossings at S + i; fold the
+    # index back so seg_idx really indexes the soup (extremes already
+    # resolved via the duplicated array)
+    S = seg.shape[0]
+    folded = jnp.where(res.seg_idx >= 0, res.seg_idx % S, res.seg_idx)
+    return SegmentHits(xy=res.xy, seg_idx=folded, extremes=res.extremes,
+                       dist=res.dist, valid=res.valid)

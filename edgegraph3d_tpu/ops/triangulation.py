@@ -236,24 +236,58 @@ def add_observation_to_3d_points(
 def triangulate_view_combinations(
     P_obs: jnp.ndarray, xy: jnp.ndarray, mask: jnp.ndarray,
     min_views: int = 3, max_iters: int = 30, epsilon: float = 5e-7,
-    accept_mse: float = 9.0,
+    accept_mse: float = 9.0, max_subset_views: int = 12,
 ):
     """Best-subset triangulation + greedy re-expansion (parity:
-    compute_3d_point_coords_combinations, triangulation.cpp:1105-1158 —
-    the reference tries all view subsets of size >= 3 in decreasing
-    size until one yields an accepted GN point, then greedily re-adds
-    the excluded views one at a time, keeping each that stays valid).
+    compute_3d_point_coords_combinations, triangulation.cpp:1105-1158).
+
+    Intentional deviation from the reference's enumeration order: the
+    reference enumerates subsets of exactly `min_views` size via
+    prev_permutation and greedily expands the FIRST accepted one
+    (triangulation.cpp:1105-1158); here every subset size is solved at
+    once and the winner is chosen lexicographically by (max size, then
+    min mse) before the same greedy re-add. On ambiguous inputs the two
+    can pick different (point, used-set) pairs; batching all subsets is
+    the TPU-shaped formulation and the larger-first criterion dominates
+    the reference's minimal-subset pick in observation count.
 
     TPU-native: all 2^O subset masks are a static tensor; every subset
-    is solved in ONE batched GN (subsets = the batch dimension), the
-    winner is selected by (max size, then min mse) — the same point the
-    reference's decreasing-size scan finds first — and the greedy
-    re-add is a static loop of O batched single-observation adds.
+    is solved in ONE batched GN (subsets = the batch dimension) and the
+    greedy re-add is a static loop of O batched single-observation adds.
+    To bound the 2^O blowup, at most `max_subset_views` observations
+    (the first valid ones, mirroring the reference's view-id order)
+    enter the enumeration; the rest are only considered by the greedy
+    re-add phase.
 
     P_obs [O,3,4], xy [O,2], mask [O] (one point's candidate views).
     Returns (X [3], mse, valid, used_mask [O]).
     """
     O = int(mask.shape[0])
+    if O > max_subset_views:
+        # keep the first max_subset_views VALID observations for the
+        # subset enumeration (stable sort: valid first, id order kept)
+        order = jnp.argsort(~mask, stable=True)          # [O]
+        sel = order[:max_subset_views]                   # [K]
+        X, mse, valid, used_k = triangulate_view_combinations(
+            P_obs[sel], xy[sel], mask[sel], min_views=min_views,
+            max_iters=max_iters, epsilon=epsilon, accept_mse=accept_mse,
+            max_subset_views=max_subset_views)
+        used = jnp.zeros(O, dtype=bool).at[sel].set(used_k)
+        # greedy re-add of the observations excluded from enumeration
+        in_enum = jnp.zeros(O, dtype=bool).at[sel].set(True)
+        for o in range(O):
+            excluded = mask[o] & ~in_enum[o] & valid
+            Xr, mse_r, ok_r, _ = add_observation_to_3d_points(
+                P_obs[None], xy[None], used[None], X[None],
+                P_obs[None, o], xy[None, o],
+                new_valid=excluded[None], max_iters=max_iters,
+                epsilon=epsilon, accept_mse=accept_mse)
+            accept = excluded & ok_r[0]
+            X = jnp.where(accept, Xr[0], X)
+            used = used.at[o].set(used[o] | accept)
+        mse = reprojection_mse(P_obs[None], xy[None], used[None],
+                               X[None])[0]
+        return X, mse, valid, used
     # static subset enumeration (skip subsets smaller than min_views)
     bits = np.arange(2 ** O, dtype=np.uint32)
     table = ((bits[:, None] >> np.arange(O)) & 1).astype(bool)   # [S,O]
@@ -274,9 +308,12 @@ def triangulate_view_combinations(
         accept_mse=accept_mse)
     ok_s = ok_s & enough
     size = jnp.sum(m_sub, axis=-1)
-    # reference order: largest subset first; tie-break by lowest mse
-    score = jnp.where(ok_s, size.astype(P_obs.dtype) * 1e6 - mse_s, -jnp.inf)
-    best = jnp.argmax(score)
+    # lexicographic (max size, then min mse) selection in two exact
+    # integer/float steps — no composite float score, no tie-break
+    # precision loss at large sizes
+    max_size = jnp.max(jnp.where(ok_s, size, -1))
+    tier = ok_s & (size == max_size)
+    best = jnp.argmin(jnp.where(tier, mse_s, jnp.inf))
     any_ok = jnp.any(ok_s)
     X = X_s[best]
     used = m_sub[best] & any_ok

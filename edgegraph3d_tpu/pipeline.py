@@ -193,7 +193,9 @@ def run_pipeline(
 
     t0 = time.time()
     filtered = filter_sfm_data(augmented, first_edgepoint,
-                               gn_max_mse=config.filter_gn_max_mse)
+                               gn_max_mse=config.filter_gn_max_mse,
+                               min_views_floor=config.filter_min_views,
+                               epsilon=config.gn_epsilon)
     stats.log("outlier_filter", t0, filtered.n_points)
 
     if debug_images and working_folder:
