@@ -36,7 +36,9 @@ import numpy as np
 # docstring); update when the workload or pipeline changes materially.
 # 2026-08-18: 0.2835 views/s (28.2s steady-state for 8 views @1600x1200
 # after an identical warmup pass).
-CPU_BASELINE_VIEWS_PER_S = 0.2835
+# 2026-08-20: 0.3406 views/s (23.5s) — same-code CPU also gained from
+# the round-2 SoA kernels, so the ratio stays honest.
+CPU_BASELINE_VIEWS_PER_S = 0.3406
 
 
 def build_workload(n_views: int, width: int, height: int,
@@ -46,6 +48,29 @@ def build_workload(n_views: int, width: int, height: int,
     return synthetic.make_cube_scene(
         n_cams=n_views, n_refpoints_per_edge=n_ref_per_edge,
         width=width, height_px=height, focal=focal, seed=seed)
+
+
+def quality_metrics(out_sfmd, in_sfmd, curves):
+    """3D accuracy + completeness of the reconstructed edge-points
+    against the ground-truth synthetic curves: median distance of
+    edge-points to the nearest curve sample, and fraction of curve
+    samples with an edge-point within 2x the median sample spacing."""
+    import numpy as np
+    pts = out_sfmd.points[in_sfmd.n_points:]
+    gt = np.concatenate(curves)
+    if len(pts) == 0:
+        return dict(edge_points=0, med_dist3d=float("inf"), coverage=0.0)
+    # chunked nearest-neighbour (no scipy dependency)
+    d_pt = np.full(len(pts), np.inf)
+    d_gt = np.full(len(gt), np.inf)
+    for lo in range(0, len(pts), 2048):
+        d = np.linalg.norm(pts[lo:lo + 2048, None] - gt[None], axis=-1)
+        d_pt[lo:lo + 2048] = d.min(axis=1)
+        d_gt = np.minimum(d_gt, d.min(axis=0))
+    spacing = np.median(np.linalg.norm(np.diff(gt[:200], axis=0), axis=1))
+    return dict(edge_points=int(len(pts)),
+                med_dist3d=float(np.median(d_pt)),
+                coverage=float((d_gt < 4 * spacing).mean()))
 
 
 def run(n_views: int, width: int, height: int, n_ref: int,
@@ -63,18 +88,14 @@ def run(n_views: int, width: int, height: int, n_ref: int,
     cfg = EdgeGraphConfig().replace(max_polylines_per_view=2048,
                                     max_polyline_len=256,
                                     max_follow_steps=128)
-    sfmd, edge_imgs, _ = build_workload(n_views, width, height, n_ref)
+    sfmd, edge_imgs, curves = build_workload(n_views, width, height, n_ref)
 
-    # warmup: same scene with a small refpoint subsample (view count and
-    # image size preserved -> identical compiled shapes)
-    warm = sfmd.copy()
-    keep = np.linspace(0, sfmd.n_points - 1, min(40, sfmd.n_points),
-                       dtype=np.int64)
-    warm.points = sfmd.points[keep]
-    warm.obs_cam = [sfmd.obs_cam[i] for i in keep]
-    warm.obs_xy = [sfmd.obs_xy[i] for i in keep]
+    # warmup: the FULL workload once, so the measured pass is pure
+    # steady state — every compile, executable load, and transfer-shape
+    # bucket is exercised by identical shapes (a subsampled warmup
+    # leaves shape-dependent programs cold in the measured pass)
     t0 = time.time()
-    run_pipeline(warm, edge_imgs, cfg,
+    run_pipeline(sfmd, edge_imgs, cfg,
                  max_starting_views=max_starting_views)
     if verbose:
         print(f"warmup: {time.time() - t0:.2f}s", file=sys.stderr)
@@ -84,11 +105,13 @@ def run(n_views: int, width: int, height: int, n_ref: int,
     out = run_pipeline(sfmd, edge_imgs, cfg,
                        max_starting_views=max_starting_views, stats=stats)
     wall = time.time() - t0
+    qual = quality_metrics(out, sfmd, curves)
     if verbose:
         print(stats.report(), file=sys.stderr)
         print(f"total: {wall:.2f}s, edge-points: "
-              f"{out.n_points - sfmd.n_points}", file=sys.stderr)
-    return wall, out.n_points - sfmd.n_points
+              f"{out.n_points - sfmd.n_points}, quality: {qual}",
+              file=sys.stderr)
+    return wall, qual
 
 
 def main():
@@ -113,13 +136,13 @@ def main():
     if args.probe_cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    wall, n_pts = run(args.views, args.width, args.height,
-                      args.refpoints_per_edge, args.max_starting_views)
+    wall, qual = run(args.views, args.width, args.height,
+                     args.refpoints_per_edge, args.max_starting_views)
     views_per_s = args.views / wall
 
     if args.probe_cpu:
         print(f"CPU probe: {views_per_s:.4f} views/s "
-              f"({wall:.1f}s, {n_pts} pts)", file=sys.stderr)
+              f"({wall:.1f}s, {qual})", file=sys.stderr)
         print(json.dumps({"metric": "views_per_s_cpu",
                           "value": round(views_per_s, 4),
                           "unit": "views/s", "vs_baseline": 1.0}))
@@ -127,8 +150,12 @@ def main():
 
     baseline = CPU_BASELINE_VIEWS_PER_S
     vs = round(views_per_s / baseline, 3) if baseline else 1.0
-    print(json.dumps({"metric": "views_per_s", "value": round(views_per_s, 4),
-                      "unit": "views/s", "vs_baseline": vs}))
+    print(json.dumps({
+        "metric": "views_per_s", "value": round(views_per_s, 4),
+        "unit": "views/s", "vs_baseline": vs,
+        "edge_points": qual["edge_points"],
+        "med_dist3d": round(qual["med_dist3d"], 5),
+        "coverage": round(qual["coverage"], 4)}))
 
 
 if __name__ == "__main__":

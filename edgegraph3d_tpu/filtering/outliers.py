@@ -37,7 +37,10 @@ def gauss_newton_filter(sfmd: SfMData, gn_max_mse: float = 2.25,
     N = sfmd.n_points
     if N == 0:
         return sfmd.points.copy(), np.zeros(0, dtype=bool)
+    # bucket the observation axis (next power of two) — a data-dependent
+    # max_obs would compile a fresh GN executable per scene
     max_obs = max(int(max(len(c) for c in sfmd.obs_cam)), 2)
+    max_obs = 1 << (max_obs - 1).bit_length()
     packed = pack_observations(sfmd.obs_cam, sfmd.obs_xy, max_obs=max_obs,
                                dtype=np.float32)
     P = sfmd.P.astype(np.float32)

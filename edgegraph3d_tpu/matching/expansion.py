@@ -1,0 +1,262 @@
+"""Chain-aware all-view expansion with Gauss-Newton re-validation.
+
+TPU-native redesign of the reference's expansion of swept 3D chains to
+every other view (reference:
+src/edgegraph3d/utils/geometry/triangulation.cpp:742-919
+`expand_allpoints_to_other_view_using_plmap` calling
+src/edgegraph3d/matching/plg_matching/plg_matching.cpp:1345
+`add_view_to_3dpoint_and_sides_plgp_matches_vector`, whose walk
+re-validates every added observation through
+`em_add_new_observation_to_3Dpositions`, triangulation.cpp:347-466):
+
+  reference semantics (SWITCH_DISABLE_INTERVAL +
+  SWITCH_PLG_MATCHING_ADDPOINT_BOTHDIR_ONE variant, the production
+  configuration):
+    per (chain, other view):
+      1. anchor: scan chain points in order; project the 3D point, find
+         the unique nearby polyline (<= 4 px, plmap), require the closest
+         polyline point within MAX_3DPOINT_PROJECTIONDISTSQ_EXPANDALLVIEWS
+         (16 px^2)
+      2. the anchor observation must survive a GN re-run over all its
+         observations + the new one at MSE < 9
+         (em_add_new_observation_to_3Dpositions)
+      3. walk the view's polyline ALONG THE CHAIN in both directions
+         (epipolar intersection steps), re-validating every stepped
+         observation the same way; stop at the first failure; an interior
+         anchor whose either side fails to match >= 1 point is rejected
+         outright (plg_matching.cpp:1370-1376)
+      4. re-anchor after the matched interval and repeat
+
+  TPU-native formulation (parallel over chains x chain points,
+  sequential only over views):
+      1. candidates for ALL chain points at once: closest polyline point
+         within 4 px via the segment grid (the reference's plmap anchor
+         IS the closest-point query; the walk's epipolar intersections
+         land on the same polyline arc — here every point uses the
+         closest-point form, a documented deviation)
+      2. the walk's continuity becomes a parallel run test: accepted
+         candidates must sit in a same-polyline, locally monotone
+         (coordinate-position) run along the chain; runs shorter than 3
+         (2 when touching a chain end) are dropped — exactly the
+         both-directions-must-match rule for interior anchors
+      3. GN re-validation is sequential over views like the reference
+         (each view's accepted observation updates X before the next
+         view is tried): one batched add_observation_to_3d_points per
+         view over all [C*T] chain points
+
+  Not implemented (documented deviation): the reference's
+  follow_direction tail that EXTENDS the chain with brand-new 3D points
+  when an expansion walk matches the full remaining chain
+  (plg_matching.cpp:1393-1412) — chain extension here is the follow
+  stage's job (chain continuation rounds).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgegraph3d_tpu.config import EdgeGraphConfig
+from edgegraph3d_tpu.matching import detection
+from edgegraph3d_tpu.ops.geometry import project_depth
+from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
+
+
+def _monotone_runs(pl_id: jnp.ndarray, pos: jnp.ndarray,
+                   cand_ok: jnp.ndarray, chain_valid: jnp.ndarray):
+    """Per chain point: length of the same-polyline monotone run it
+    belongs to, plus whether the run touches a chain end.
+
+    pl_id [C,T] int32, pos [C,T] float (seg + t along the polyline),
+    cand_ok [C,T], chain_valid [C,T].  Returns (run_len [C,T],
+    touches_end [C,T]) — all-parallel prefix/suffix maxes over T.
+    """
+    C, T = pl_id.shape
+    idx = jnp.arange(T)
+    ok = cand_ok & chain_valid
+
+    # link[t]: candidate t continues the run from t-1
+    same_pl = (pl_id[:, 1:] == pl_id[:, :-1]) & ok[:, 1:] & ok[:, :-1]
+    dpos = pos[:, 1:] - pos[:, :-1]
+    # local monotonicity: consecutive steps must advance the same way
+    # (the reference's walk direction is fixed per run); the first step
+    # of a run sets the sign, later steps must agree with the previous
+    sign = jnp.sign(dpos)
+    sign_ok = jnp.concatenate(
+        [jnp.ones((C, 1), bool),
+         (sign[:, 1:] == sign[:, :-1]) | (sign[:, 1:] == 0)], axis=1)
+    nonzero = jnp.abs(dpos) > 0
+    link = jnp.concatenate([jnp.zeros((C, 1), bool),
+                            same_pl & sign_ok & nonzero], axis=1)  # [C,T]
+
+    # run start per element: last index with ~link (cummax over t)
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(link, -1, idx[None, :]), axis=1)
+    start = jnp.where(start < 0, 0, start)
+    # run end per element: first index whose successor does not link
+    link_next = jnp.concatenate([link[:, 1:],
+                                 jnp.zeros((C, 1), bool)], axis=1)
+    end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(link_next, T, idx[None, :]), axis=1,
+        reverse=True)
+    run_len = jnp.where(ok, end - start + 1, 0)
+
+    # chain extent (first/last valid chain point)
+    big = T + 1
+    first_valid = jnp.min(jnp.where(chain_valid, idx[None, :], big), axis=1)
+    last_valid = jnp.max(jnp.where(chain_valid, idx[None, :], -1), axis=1)
+    touches_end = (start <= first_valid[:, None]) | \
+        (end >= last_valid[:, None])
+    return run_len, touches_end
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def expand_chains_sweep(plg_coords, grids, P_mats, cell: float,
+                        X, obs3, cams3, chain_valid,
+                        cfg: EdgeGraphConfig):
+    """Expand chains to all views with continuity + GN re-validation.
+
+    plg_coords [V,P,L,2], grids [V,GH,GW,K,2], P_mats [V,3,4];
+    X [C,T,3] chain points (T = chain axis, padded), obs3 [C,T,3,2]
+    tuple-view observations, cams3 [C,3] tuple view ids,
+    chain_valid [C,T].
+
+    Returns (X' [C,T,3], obs_xy [C,T,V,2], obs_mask [C,T,V], mse [C,T])
+    where obs_mask covers the 3 tuple views plus every accepted
+    expansion view and X' is the per-view-sequentially re-refined point
+    (parity: em_add_new_observation_to_3Dpositions acceptance chain).
+    """
+    V = P_mats.shape[0]
+    C, T = chain_valid.shape
+    dtype = X.dtype
+    flat = lambda a: a.reshape((C * T,) + a.shape[2:])
+
+    tol = float(np.sqrt(cfg.expand_max_projection_distsq))
+
+    # observation buffers start with the 3 tuple views
+    Omax = min(V, max(cfg.max_obs_per_point, 4))
+    P3 = P_mats[cams3]                                    # [C,3,3,4]
+    P_obs = jnp.zeros((C, T, Omax, 3, 4), dtype)
+    P_obs = P_obs.at[:, :, :3].set(
+        jnp.broadcast_to(P3[:, None], (C, T, 3, 3, 4)))
+    obs_xy_buf = jnp.zeros((C, T, Omax, 2), dtype)
+    obs_xy_buf = obs_xy_buf.at[:, :, :3].set(obs3)
+    obs_mask = jnp.zeros((C, T, Omax), bool)
+    obs_mask = obs_mask.at[:, :, :3].set(chain_valid[..., None])
+
+    # per-view output observations
+    out_xy = jnp.zeros((C, T, V, 2), dtype)
+    out_ok = jnp.zeros((C, T, V), bool)
+    # tuple views: exact tracked coordinates
+    rows = jnp.arange(C)[:, None]
+    for k in range(3):
+        out_xy = out_xy.at[rows, jnp.arange(T)[None, :],
+                           cams3[:, k][:, None]].set(obs3[:, :, k])
+        out_ok = out_ok.at[rows, jnp.arange(T)[None, :],
+                           cams3[:, k][:, None]].set(chain_valid)
+
+    mse0 = jnp.zeros((C, T), dtype)
+
+    def per_view(carry, v):
+        X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, _ = carry
+        proj, depth = project_depth(P_mats[v][None, None], X)   # [C,T,2]
+
+        def q(pt):
+            return detection.detect_starting_intersections(
+                grids[v], plg_coords[v], pt, cell, tol, 2)
+        cand = jax.vmap(q)(flat(proj))
+        c_pl = cand.pl_id[:, 0].reshape(C, T)
+        c_seg = cand.seg[:, 0].reshape(C, T)
+        c_t = cand.t[:, 0].reshape(C, T)
+        c_xy = cand.xy[:, 0].reshape(C, T, 2)
+        # the reference's anchor query demands a UNIQUE nearby polyline
+        # (find_unique_polyline_potentially_within_search_dist,
+        # polyLine_2d_map_search.cpp) — a second polyline within the
+        # tolerance invalidates the candidate
+        unique = ~cand.valid[:, 1].reshape(C, T)
+        c_ok = cand.valid[:, 0].reshape(C, T) & unique & (depth > 0)
+
+        is_tuple = jnp.any(cams3 == v, axis=1)            # [C]
+        c_ok = c_ok & ~is_tuple[:, None] & chain_valid
+
+        # continuity: same-polyline locally-monotone runs along the chain
+        pos = c_seg.astype(dtype) + c_t
+        run_len, touches = _monotone_runs(c_pl, pos, c_ok, chain_valid)
+        min_run = jnp.where(touches, 2, 3)
+        # single-point chains (seed only) keep the plain anchor rule
+        n_chain = jnp.sum(chain_valid, axis=1)
+        cont_ok = (run_len >= min_run) | (n_chain[:, None] <= 2)
+        c_ok = c_ok & cont_ok
+
+        # GN re-validation: add this view's observation, keep if the
+        # re-refined point stays under the matching MSE gate
+        free = ~obs_mask                                   # [C,T,O]
+        slot = jnp.argmax(flat(free), axis=-1)             # [C*T]
+        has_free = jnp.any(flat(free), axis=-1)
+        put = flat(c_ok) & has_free
+        r = jnp.arange(C * T)
+        P_f = flat(P_obs)
+        xy_f = flat(obs_xy_buf)
+        m_f = flat(obs_mask)
+        P_try = P_f.at[r, slot].set(
+            jnp.where(put[:, None, None], P_mats[v], P_f[r, slot]))
+        xy_try = xy_f.at[r, slot].set(
+            jnp.where(put[:, None], flat(c_xy), xy_f[r, slot]))
+        m_try = m_f.at[r, slot].set(m_f[r, slot] | put)
+        Xr, mse, ok = gauss_newton_batched(
+            P_try, xy_try, m_try, flat(X),
+            max_iters=cfg.follow_gn_iters, epsilon=cfg.gn_epsilon,
+            accept_mse=cfg.match_gn_max_mse)
+        accept = put & ok
+
+        # commit accepted observations
+        X = jnp.where(accept[:, None], Xr, flat(X)).reshape(C, T, 3)
+        P_obs = jnp.where(accept[:, None, None, None],
+                          P_try, P_f).reshape(P_obs.shape)
+        obs_xy_buf = jnp.where(accept[:, None, None],
+                               xy_try, xy_f).reshape(obs_xy_buf.shape)
+        obs_mask = jnp.where(accept[:, None],
+                             m_try, m_f).reshape(obs_mask.shape)
+        acc2 = accept.reshape(C, T)
+        out_xy = out_xy.at[:, :, v].set(
+            jnp.where(acc2[..., None], c_xy, out_xy[:, :, v]))
+        out_ok = out_ok.at[:, :, v].set(out_ok[:, :, v] | acc2)
+        return (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok,
+                mse.reshape(C, T)), None
+
+    carry0 = (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, mse0)
+    (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, mse), _ = \
+        jax.lax.scan(per_view, carry0, jnp.arange(V))
+    return X, out_xy, out_ok, mse
+
+
+def group_chains(seed_ids: np.ndarray, orders: np.ndarray,
+                 max_t: int = 64):
+    """Group flat chain rows into padded [C, T<=max_t] index tensors.
+
+    Rows of one seed sorted by signed chain order form the chain
+    (backward sweep reversed, seed, forward sweep); chains longer than
+    max_t are split into consecutive pieces (continuity runs are cut at
+    piece boundaries — a bounded-recall tradeoff for fixed shapes).
+
+    Returns (gather_idx [C, max_t] int64 into the flat rows, valid
+    [C, max_t]).
+    """
+    n = len(seed_ids)
+    if n == 0:
+        return (np.zeros((0, max_t), np.int64),
+                np.zeros((0, max_t), bool))
+    order = np.lexsort((orders, seed_ids))
+    sid = seed_ids[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(sid)) + 1, [n]])
+    gather, valid = [], []
+    for a, b in zip(starts[:-1], starts[1:]):
+        for lo in range(a, b, max_t):
+            hi = min(lo + max_t, b)
+            pad = max_t - (hi - lo)
+            gather.append(np.pad(order[lo:hi], (0, pad)))
+            valid.append(np.pad(np.ones(hi - lo, bool), (0, pad)))
+    return np.stack(gather), np.stack(valid)

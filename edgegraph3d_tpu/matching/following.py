@@ -51,6 +51,8 @@ class FollowResult(NamedTuple):
     n_steps: jnp.ndarray   # [S] accepted steps
     final_seg: jnp.ndarray  # [S,3] last accepted position (original order)
     final_t: jnp.ndarray    # [S,3]
+    perm: jnp.ndarray       # [S,3] chosen tuple permutation (driving=0)
+    dirs: jnp.ndarray       # [S,3] walk directions in PERMUTED order
 
 
 def _triangulate_tuple(P_cams: jnp.ndarray, xy: jnp.ndarray,
@@ -71,15 +73,16 @@ def _triangulate_tuple(P_cams: jnp.ndarray, xy: jnp.ndarray,
     return X, ok
 
 
-def _one_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
-              P_cams, F_pairs, cfg, X_prev=None):
-    """One following step for all seeds.
+def _walk_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
+               F_pairs, cfg):
+    """One WALK step (no triangulation) for all seeds: advance the
+    driving view, intersect epipolar lines on the other two.
 
-    coords [S,3,L,2], lengths [S,3], plp_* [S,3(,2)], dirs [S,3],
-    P_cams [S,3,3,4], F_pairs [S,2,3,3] (driving -> other view F),
-    X_prev [S,3] previous chain point for GN warm start.
-    Returns (new plp_*, obs_xy, X, ok).
-    """
+    The walk recurrence does not depend on triangulation results —
+    the reference's per-step GN (compatible(), plg_matching.cpp:633-759)
+    only decides TERMINATION, so it is hoisted out of the sequential
+    loop and batched over every recorded step afterwards (follow_seeds).
+    Returns (new_seg, new_t, new_xy, walk_ok)."""
     S = coords.shape[0]
     # 1. advance the driving view by the follow distance
     adv = jax.vmap(po.advance_by_distance, in_axes=(0, 0, 0, 0, None))(
@@ -94,29 +97,41 @@ def _one_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
     ln = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)
     lines = lines / jnp.maximum(ln, 1e-20)[..., None]
 
-    # 3. bounded epipolar intersection on each other view
-    def isect(k):
-        return jax.vmap(po.next_intersection_bounded,
-                        in_axes=(0, 0, 0, 0, 0, None, None, None, None))(
-            coords[:, k + 1], lengths[:, k + 1],
-            po.PLPoint(seg=plp_seg[:, k + 1], t=plp_t[:, k + 1],
-                       xy=plp_xy[:, k + 1]),
-            dirs[:, k + 1], lines[:, k],
-            cfg.follow_min_dist_px, cfg.follow_max_dist_px,
-            cfg.quasiparallel_cos, cfg.quasiparallel_dist_px)
+    # 3. bounded epipolar intersection on BOTH other views in one
+    # batched call (halves kernel count inside the hot loop)
+    ot = jax.vmap(po.next_intersection_bounded,
+                  in_axes=(0, 0, 0, 0, 0, None, None, None, None))(
+        coords[:, 1:].reshape((2 * S,) + coords.shape[2:]),
+        lengths[:, 1:].reshape(-1),
+        po.PLPoint(seg=plp_seg[:, 1:].reshape(-1),
+                   t=plp_t[:, 1:].reshape(-1),
+                   xy=plp_xy[:, 1:].reshape(-1, 2)),
+        dirs[:, 1:].reshape(-1), lines.reshape(-1, 3),
+        cfg.follow_min_dist_px, cfg.follow_max_dist_px,
+        cfg.quasiparallel_cos, cfg.quasiparallel_dist_px)
+    o_seg = ot.plp.seg.reshape(S, 2)
+    o_t = ot.plp.t.reshape(S, 2)
+    o_xy = ot.plp.xy.reshape(S, 2, 2)
+    o_found = ot.found.reshape(S, 2)
 
-    r1 = isect(0)
-    r2 = isect(1)
+    new_xy = jnp.concatenate([adv.plp.xy[:, None], o_xy], axis=1)
+    new_seg = jnp.concatenate([adv.plp.seg[:, None], o_seg], axis=1)
+    new_t = jnp.concatenate([adv.plp.t[:, None], o_t], axis=1)
+    ok = drive_ok & o_found[:, 0] & o_found[:, 1]
+    return new_seg, new_t, new_xy, ok
 
-    new_xy = jnp.stack([adv.plp.xy, r1.plp.xy, r2.plp.xy], axis=1)
-    new_seg = jnp.stack([adv.plp.seg, r1.plp.seg, r2.plp.seg], axis=1)
-    new_t = jnp.stack([adv.plp.t, r1.plp.t, r2.plp.t], axis=1)
 
-    # 4. triangulate the new tuple
+def _one_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
+              P_cams, F_pairs, cfg, X_prev=None):
+    """One full following step (walk + triangulation) — used by the
+    direction resolve, where a single step's GN validity picks the
+    configuration.  Returns (new_seg, new_t, new_xy, X, ok)."""
+    new_seg, new_t, new_xy, walk_ok = _walk_step(
+        coords, lengths, plp_seg, plp_t, plp_xy, dirs, F_pairs, cfg)
     gn_iters = cfg.follow_gn_iters if X_prev is not None else cfg.gn_max_iters
     X, tri_ok = _triangulate_tuple(P_cams, new_xy, cfg.match_gn_max_mse,
                                    gn_iters, X_prev, cfg.gn_epsilon)
-    ok = drive_ok & r1.found & r2.found & tri_ok
+    ok = walk_ok & tri_ok
     return new_seg, new_t, new_xy, X, ok
 
 
@@ -182,16 +197,26 @@ def resolve_configuration(seeds: SeedTuple, plg_coords, plg_length,
 def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
                  plg_length: jnp.ndarray, P_mats: jnp.ndarray,
                  F_table: jnp.ndarray, drive_dir, cfg,
-                 max_steps: int) -> FollowResult:
+                 max_steps: int, fixed_perm=None,
+                 fixed_dirs=None) -> FollowResult:
     """Sweep all seeds in one direction of the driving view.
 
     plg_coords [V,P,L,2], plg_length [V,P], P_mats [V,3,4],
     F_table [V,V,3,3].  The emitted obs_xy follow the ORIGINAL tuple
     view order of `seeds.cams`.
+
+    With `fixed_perm`/`fixed_dirs` (continuation rounds: chains that
+    hit max_steps resume from their final position) the direction
+    resolve is skipped and the given configuration is used as-is.
     """
     S = seeds.cams.shape[0]
-    perm, dirs, dir_ok = resolve_configuration(
-        seeds, plg_coords, plg_length, P_mats, F_table, drive_dir, cfg)
+    if fixed_perm is not None:
+        perm, dirs = fixed_perm, fixed_dirs
+        dir_ok = jnp.ones((S,), bool)
+    else:
+        perm, dirs, dir_ok = resolve_configuration(
+            seeds, plg_coords, plg_length, P_mats, F_table, drive_dir,
+            cfg)
 
     # permute each seed's tuple so the chosen driving view is index 0
     cams, seg0, t0, xy0 = _permute_tuple(
@@ -210,46 +235,77 @@ def follow_seeds(seeds: SeedTuple, plg_coords: jnp.ndarray,
     P_cams = P_mats[seeds.cams]                         # [S,3,3,4]
     F_pairs = F_table[seeds.cams[:, 0:1], seeds.cams[:, 1:]]  # [S,2,3,3]
 
-    # bounded walk with EARLY EXIT: a while_loop (not scan) stops as soon
-    # as every chain has terminated — typical sweeps die within a
-    # fraction of max_steps, so this trades the scan's fixed step count
-    # for data-dependent wall-clock.  Outputs land in preallocated
-    # buffers via in-place dynamic updates (XLA aliases them in the loop).
+    # bounded WALK with EARLY EXIT: a while_loop (not scan) stops as
+    # soon as every chain has terminated.  The loop body is walk-only
+    # (advance + epipolar intersections); triangulation + GN acceptance
+    # runs ONCE afterwards, batched over all [S, T] recorded steps —
+    # the walk recurrence does not depend on triangulation results, so
+    # this is exactly the reference's semantics (cold-start
+    # compute_3d_point per step, plg_matching.cpp:633-759) at a
+    # fraction of the sequential-loop cost (the nested GN while_loop
+    # used to run inside every walk iteration).
     Sb = seeds.cams.shape[0]
-    Xs0 = jnp.zeros((Sb, max_steps, 3), seeds.X.dtype)
     obs0 = jnp.zeros((Sb, max_steps, 3, 2), seeds.xy.dtype)
+    segb0 = jnp.zeros((Sb, max_steps, 3), jnp.int32)
+    tb0 = jnp.zeros((Sb, max_steps, 3), seeds.t.dtype)
     alive0 = jnp.zeros((Sb, max_steps), bool)
 
     def cond_fn(carry):
-        i, _, _, _, _, active = carry[:6]
+        i, _, _, _, active = carry[:5]
         return (i < max_steps) & jnp.any(active)
 
     def body_fn(carry):
-        i, seg, t, xy, Xc, active, Xs, obs, alive_buf = carry
-        nseg, nt, nxy, X, ok = _one_step(coords, lengths, seg, t, xy, dirs,
-                                         P_cams, F_pairs, cfg, X_prev=Xc)
+        i, seg, t, xy, active, obs, segb, tb, alive_buf = carry
+        nseg, nt, nxy, ok = _walk_step(coords, lengths, seg, t, xy, dirs,
+                                       F_pairs, cfg)
         alive = active & ok
         seg = jnp.where(alive[:, None], nseg, seg)
         t = jnp.where(alive[:, None], nt, t)
         xy = jnp.where(alive[:, None, None], nxy, xy)
-        Xc = jnp.where(alive[:, None], X, Xc)
-        Xs = jax.lax.dynamic_update_index_in_dim(Xs, X, i, 1)
         obs = jax.lax.dynamic_update_index_in_dim(obs, nxy, i, 1)
+        segb = jax.lax.dynamic_update_index_in_dim(segb, nseg, i, 1)
+        tb = jax.lax.dynamic_update_index_in_dim(tb, nt, i, 1)
         alive_buf = jax.lax.dynamic_update_index_in_dim(alive_buf, alive,
                                                         i, 1)
-        return (i + 1, seg, t, xy, Xc, alive, Xs, obs, alive_buf)
+        return (i + 1, seg, t, xy, alive, obs, segb, tb, alive_buf)
 
-    init = (jnp.int32(0), seeds.seg, seeds.t, seeds.xy, seeds.X,
-            seeds.valid & dir_ok, Xs0, obs0, alive0)
-    (_, fseg, ft, _, _, _, Xs, obs, alive) = jax.lax.while_loop(
+    init = (jnp.int32(0), seeds.seg, seeds.t, seeds.xy,
+            seeds.valid & dir_ok, obs0, segb0, tb0, alive0)
+    (_, _, _, _, _, obs, segb, tb, walk_alive) = jax.lax.while_loop(
         cond_fn, body_fn, init)
+
+    # batched triangulation + GN acceptance over every recorded step
+    # (parity: compute_3d_point_coords -> em_GaussNewton, MSE < 9)
+    flat_obs = obs.reshape(Sb * max_steps, 3, 2)
+    flat_P = jnp.broadcast_to(P_cams[:, None], (Sb, max_steps, 3, 3, 4)
+                              ).reshape(Sb * max_steps, 3, 3, 4)
+    m3 = jnp.ones((Sb * max_steps, 3), bool)
+    X0 = triangulate_dlt(flat_P, flat_obs, m3)
+    Xs, _, gn_ok = gauss_newton_batched(
+        flat_P, flat_obs, m3, X0, max_iters=cfg.gn_max_iters,
+        epsilon=cfg.gn_epsilon, accept_mse=cfg.match_gn_max_mse)
+    Xs = Xs.reshape(Sb, max_steps, 3)
+    gn_ok = gn_ok.reshape(Sb, max_steps)
+    # a GN failure terminates the chain at that step (prefix cut)
+    ok_or_dead = gn_ok | ~walk_alive
+    alive = walk_alive & jnp.cumprod(
+        ok_or_dead.astype(jnp.int32), axis=1).astype(bool)
+    n_steps = jnp.sum(alive, axis=1)
+
+    # final accepted position per seed (for interval claiming)
+    last = jnp.maximum(n_steps - 1, 0)
+    fseg = jnp.take_along_axis(segb, last[:, None, None], axis=1)[:, 0]
+    ft = jnp.take_along_axis(tb, last[:, None, None], axis=1)[:, 0]
+    fseg = jnp.where((n_steps > 0)[:, None], fseg, seeds.seg)
+    ft = jnp.where((n_steps > 0)[:, None], ft, seeds.t)
+
     # restore the caller's tuple-view order
     obs = jnp.take_along_axis(obs, inv_perm[:, None, :, None], axis=2)
     fseg = jnp.take_along_axis(fseg, inv_perm, axis=1)
     ft = jnp.take_along_axis(ft, inv_perm, axis=1)
     return FollowResult(X=Xs, obs_xy=obs, valid=alive,
-                        n_steps=jnp.sum(alive, axis=1),
-                        final_seg=fseg, final_t=ft)
+                        n_steps=n_steps, final_seg=fseg, final_t=ft,
+                        perm=perm, dirs=dirs)
 
 
 @partial(jax.jit, static_argnames=("min_steps", "cap"))
@@ -257,13 +313,16 @@ def pack_follow_outputs(fwd: FollowResult, bwd: FollowResult,
                         seed_valid: jnp.ndarray, min_steps: int, cap: int):
     """Compact both directions' emitted chain points on device.
 
-    Returns (buf [cap, 11], n_emitted, meta [S, 13]) where each buf row
+    Returns (buf [cap, 11], n_emitted, meta [S, 39]) where each buf row
     is [X(3), obs_xy(6), seed_idx(1), signed_order(1)] and meta rows are
-    [total_steps(1), fwd final_seg(3), fwd final_t(3), bwd final_seg(3),
-    bwd final_t(3)] — everything the host needs for interval claiming
-    and assembly in TWO transfers instead of ~20 padded ones (the
-    emitted points are a few percent of the padded [S, T] buffers; see
-    ops/compaction.py).
+    [total_steps(1),
+     fwd final_seg(3), fwd final_t(3), bwd final_seg(3), bwd final_t(3),
+     fwd n_steps(1), bwd n_steps(1),
+     fwd final_xy(6), bwd final_xy(6),
+     fwd perm(3), fwd dirs(3), bwd perm(3), bwd dirs(3)]
+    — everything the host needs for interval claiming, chain
+    continuation, and assembly in TWO transfers instead of ~20 padded
+    ones (see ops/compaction.py).
     """
     from edgegraph3d_tpu.ops.compaction import compact_rows
 
@@ -282,6 +341,12 @@ def pack_follow_outputs(fwd: FollowResult, bwd: FollowResult,
              order[..., None]], axis=-1).reshape(S * T, 11)
         return val, payload
 
+    def final_xy(res):
+        # observation tuple at the last accepted step (caller view order)
+        last = jnp.maximum(res.n_steps - 1, 0)
+        return jnp.take_along_axis(
+            res.obs_xy, last[:, None, None, None], axis=1)[:, 0]  # [S,3,2]
+
     v1, p1 = flat(fwd, 1.0)
     v2, p2 = flat(bwd, -1.0)
     buf, n = compact_rows(jnp.concatenate([v1, v2]),
@@ -290,8 +355,25 @@ def pack_follow_outputs(fwd: FollowResult, bwd: FollowResult,
     meta = jnp.concatenate(
         [total.astype(f)[:, None],
          fwd.final_seg.astype(f), fwd.final_t.astype(f),
-         bwd.final_seg.astype(f), bwd.final_t.astype(f)], axis=1)
+         bwd.final_seg.astype(f), bwd.final_t.astype(f),
+         fwd.n_steps.astype(f)[:, None], bwd.n_steps.astype(f)[:, None],
+         final_xy(fwd).reshape(S, 6), final_xy(bwd).reshape(S, 6),
+         fwd.perm.astype(f), fwd.dirs.astype(f),
+         bwd.perm.astype(f), bwd.dirs.astype(f)],
+        axis=1)
     return buf, n, meta
+
+
+def dead_follow_result(res: FollowResult, seeds: SeedTuple) -> FollowResult:
+    """An all-invalid FollowResult shaped like `res` whose final
+    position is the seed position — the 'other half' when packing a
+    direction-pinned continuation sweep through pack_follow_outputs."""
+    return FollowResult(
+        X=jnp.zeros_like(res.X), obs_xy=jnp.zeros_like(res.obs_xy),
+        valid=jnp.zeros_like(res.valid),
+        n_steps=jnp.zeros_like(res.n_steps),
+        final_seg=seeds.seg, final_t=seeds.t,
+        perm=res.perm, dirs=res.dirs)
 
 
 def follow_seeds_bidirectional(seeds: SeedTuple, plg_coords, plg_length,

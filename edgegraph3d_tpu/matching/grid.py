@@ -112,10 +112,17 @@ def gather_neighborhood(grid: jnp.ndarray, pt: jnp.ndarray, cell: float,
 
 def point_segment_distance(pt: jnp.ndarray, a: jnp.ndarray,
                            b: jnp.ndarray):
-    """pt [2], a/b [...,2] -> (dist, t, proj)."""
-    ab = b - a
-    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
-    t = jnp.clip(jnp.sum((pt - a) * ab, axis=-1) / denom, 0.0, 1.0)
-    proj = a + t[..., None] * ab
-    d = jnp.linalg.norm(pt - proj, axis=-1)
-    return d, t, proj
+    """pt [2], a/b [...,2] -> (dist, t, proj).
+
+    Component math: the trailing coordinate dim of 2 tiles to 128 TPU
+    lanes (see ops/triangulation.py gauss_newton_batched)."""
+    ax, ay = a[..., 0], a[..., 1]
+    ux = b[..., 0] - ax
+    uy = b[..., 1] - ay
+    denom = jnp.maximum(ux * ux + uy * uy, 1e-12)
+    t = jnp.clip(((pt[0] - ax) * ux + (pt[1] - ay) * uy) / denom,
+                 0.0, 1.0)
+    qx = ax + t * ux
+    qy = ay + t * uy
+    d = jnp.sqrt((pt[0] - qx) ** 2 + (pt[1] - qy) ** 2)
+    return d, t, jnp.stack([qx, qy], axis=-1)

@@ -54,7 +54,10 @@ from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched, \
 def _close_polylines_chunk(plg_coords, grids, cell: float, obs_xy,
                            M: int, within_dist: float):
     """For every (refpoint, view): top-M distinct polylines within
-    `within_dist` of the observation.  obs_xy [N,V,2]."""
+    `within_dist` of the observation.  obs_xy [N,V,2].  Returns ONE
+    packed [N,V,M,7] f32 tensor [pl_id, seg, t, xy(2), dist, valid] —
+    a single device->host transfer per chunk (each transfer pays ~40 ms
+    of tunnel latency)."""
     N, V = obs_xy.shape[:2]
 
     def per_view(v):
@@ -63,13 +66,20 @@ def _close_polylines_chunk(plg_coords, grids, cell: float, obs_xy,
                 grids[v], plg_coords[v], pt, cell, within_dist, M)
         return jax.vmap(q)(obs_xy[:, v])
     cand = jax.lax.map(per_view, jnp.arange(V))
-    return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), cand)  # [N,V,M]
+    cand = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), cand)  # [N,V,M]
+    f = obs_xy.dtype
+    return jnp.concatenate([
+        cand.pl_id.astype(f)[..., None], cand.seg.astype(f)[..., None],
+        cand.t[..., None], cand.xy,
+        jnp.minimum(cand.dist, 1e18)[..., None],
+        cand.valid.astype(f)[..., None]], axis=-1)
 
 
 def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
                      within_dist: float, chunk: int = 256):
     """Fixed-size chunks over refpoints so the device program's shape is
-    independent of the refpoint count (compile reuse across runs)."""
+    independent of the refpoint count (compile reuse across runs).
+    Returns a Candidates tree of numpy arrays [N,V,M]."""
     obs_np = np.asarray(obs_xy)
     N = len(obs_np)
     outs = []
@@ -80,8 +90,13 @@ def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
                                 ((0, pad), (0, 0), (0, 0))))
         res = _close_polylines_chunk(plg_coords, grids, cell, ox, M,
                                      within_dist)
-        outs.append(jax.tree.map(lambda a: np.asarray(a)[: hi - lo], res))
-    return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
+        outs.append(np.asarray(res)[: hi - lo])
+    packed = np.concatenate(outs)
+    return detection.Candidates(
+        pl_id=packed[..., 0].astype(np.int32),
+        seg=packed[..., 1].astype(np.int32),
+        t=packed[..., 2], xy=packed[..., 3:5], dist=packed[..., 5],
+        valid=packed[..., 6] > 0.5)
 
 
 # ----------------------------------------------------------------------
@@ -152,60 +167,100 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
                           max_sets: int | None = None) -> list[np.ndarray]:
     """Polyline-compatibility communities (parity:
     polyline_matching_similarity_graph + grappolo,
-    polyline_matcher.cpp:222-336)."""
+    polyline_matcher.cpp:222-336).
+
+    Faithful semantics, vectorized on host (no per-refpoint Python
+    loops):
+      * node = (view, polyline) close (<= 10 px) to a refpoint's
+        projection on a viewing cam (top max_candidates_per_view
+        distinct polylines per view approximate the reference's
+        unbounded close set)
+      * refpoint weight = non_empty_views / total_close_polylines
+        (compute_refpoint_weight, :191-199)
+      * edge weight = visibility-restricted weighted Jaccard
+        (compute_compatibility, :171-189): for nodes a=(va,pa),
+        b=(vb,pb), intersection = refpoints close to both (those
+        generated the edge), union = (close to a AND visible on vb) +
+        (close to b AND visible on va) - intersection, each summed by
+        refpoint weight
+    """
     cfg = ctx.config
     obs_xy, obs_mask = dense_observations(sfmd)
-    M = 2
+    M = cfg.max_candidates_per_view
     cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
                             jnp.asarray(obs_xy), M,
                             cfg.find_within_dist_px)
     valid = np.asarray(cand.valid) & obs_mask[..., None]   # [N,V,M]
     pl = np.asarray(cand.pl_id)
 
-    P_cnt = ctx.plg_coords.shape[1]
-    node_of = lambda v, p: int(v) * P_cnt + int(p)
-
-    # per refpoint: clique over its close (view, polyline) pairs;
-    # edge weight accumulates the refpoint weight 1/#close-pairs
-    # (parity: compute_refpoint_weight, polyline_matcher.cpp:191-199)
-    edge_w: dict = {}
-    close_sets: dict = {}          # node -> set of refpoints
     N, V = obs_mask.shape
-    for n in range(N):
-        pairs = [(node_of(v, pl[n, v, m]))
-                 for v in range(V) for m in range(M) if valid[n, v, m]]
-        if len(pairs) < 2:
-            continue
-        w = 1.0 / len(pairs)
-        for i in range(len(pairs)):
-            close_sets.setdefault(pairs[i], set()).add(n)
-            for j in range(i + 1, len(pairs)):
-                a, b = min(pairs[i], pairs[j]), max(pairs[i], pairs[j])
-                if a != b:
-                    edge_w[(a, b)] = edge_w.get((a, b), 0.0) + w
+    P_cnt = ctx.plg_coords.shape[1]
+    node = np.where(valid, np.arange(V)[None, :, None] * P_cnt + pl, -1)
 
-    if not edge_w:
+    # refpoint weights (compute_refpoint_weight)
+    n_close = valid.sum(axis=(1, 2)).astype(np.float64)       # [N]
+    n_views = np.any(valid, axis=2).sum(axis=1).astype(np.float64)
+    w_ref = np.where(n_close > 0, n_views / np.maximum(n_close, 1), 0.0)
+
+    # node ids (dense reindex of the used (view, polyline) pairs)
+    used = np.unique(node[valid])
+    if len(used) == 0:
         return []
-    # weighted-Jaccard reweighting of edges by shared close-refpoint sets
-    # (parity: compute_compatibility, polyline_matcher.cpp:171-189)
-    nodes = sorted({a for a, _ in edge_w} | {b for _, b in edge_w})
-    idx = {node: i for i, node in enumerate(nodes)}
-    edges = np.asarray([[idx[a], idx[b]] for (a, b) in edge_w],
-                       dtype=np.int32)
-    weights = []
-    for (a, b), w in edge_w.items():
-        sa = close_sets.get(a, set())
-        sb = close_sets.get(b, set())
-        inter = len(sa & sb)
-        union_sz = max(len(sa | sb), 1)
-        weights.append(w * inter / union_sz)
-    weights = np.asarray(weights, dtype=np.float32)
+    remap = {int(u): i for i, u in enumerate(used)}
+    U = len(used)
 
-    comms = comm_mod.communities_from_edges(edges, weights, len(nodes),
-                                            min_size=3)
+    # per-(node, view) weight sums restricted by visibility:
+    # SA[u, v2] = sum of w_ref over refpoints close to u and visible on v2
+    nn, vv, mm = np.nonzero(valid)
+    u_idx = np.asarray([remap[int(x)] for x in node[nn, vv, mm]],
+                       dtype=np.int64)
+    SA = np.zeros((U, V), dtype=np.float64)
+    np.add.at(SA, u_idx, w_ref[nn, None] * obs_mask[nn])
+
+    # clique edges per refpoint, chunked over refpoints
+    K = V * M
+    slots_i, slots_j = np.triu_indices(K, k=1)
+    node_flat = node.reshape(N, K)
+    valid_flat = valid.reshape(N, K)
+    keys_acc, inter_acc = [], []
+    chunk = 512
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        a = node_flat[lo:hi, slots_i]
+        b = node_flat[lo:hi, slots_j]
+        ok = valid_flat[lo:hi, slots_i] & valid_flat[lo:hi, slots_j]
+        sel = np.nonzero(ok)
+        if len(sel[0]) == 0:
+            continue
+        aa, bb = a[sel], b[sel]
+        lo_n, hi_n = np.minimum(aa, bb), np.maximum(aa, bb)
+        keys_acc.append(lo_n.astype(np.int64) * (V * P_cnt) + hi_n)
+        inter_acc.append(w_ref[lo + sel[0]])
+    if not keys_acc:
+        return []
+    keys = np.concatenate(keys_acc)
+    contrib = np.concatenate(inter_acc)
+    uniq_keys, inv = np.unique(keys, return_inverse=True)
+    inter_w = np.bincount(inv, weights=contrib)             # [E]
+    ea = (uniq_keys // (V * P_cnt)).astype(np.int64)
+    eb = (uniq_keys % (V * P_cnt)).astype(np.int64)
+    ia = np.asarray([remap[int(x)] for x in ea], dtype=np.int64)
+    ib = np.asarray([remap[int(x)] for x in eb], dtype=np.int64)
+    va = (ea // P_cnt).astype(np.int64)
+    vb = (eb // P_cnt).astype(np.int64)
+    union_w = SA[ia, vb] + SA[ib, va] - inter_w
+    w_edge = np.where(union_w > 0, inter_w / np.maximum(union_w, 1e-12),
+                      0.0)
+    keep = w_edge > 0.0
+    if not keep.any():
+        return []
+    edges = np.stack([ia[keep], ib[keep]], axis=1).astype(np.int32)
+    weights = w_edge[keep].astype(np.float32)
+
+    comms = comm_mod.communities_from_edges(edges, weights, U, min_size=3)
     out = []
     for c in comms:
-        pairs = np.asarray([[nodes[i] // P_cnt, nodes[i] % P_cnt]
+        pairs = np.asarray([[used[i] // P_cnt, used[i] % P_cnt]
                             for i in c], dtype=np.int64)
         # need >= 3 distinct views for seeding
         if len(np.unique(pairs[:, 0])) >= 3:

@@ -101,14 +101,27 @@ def build_context(sfmd: SfMData, stack: PLGStack,
 
 
 def dense_observations(sfmd: SfMData, dtype=np.float32):
-    """Ragged per-point obs -> dense [N,V] tensors (obs_xy, obs_mask)."""
+    """Ragged per-point obs -> dense [N,V] tensors (obs_xy, obs_mask).
+
+    Vectorized scatter; memoized on the scene object (all three matching
+    stages ask for the same tensors)."""
+    cached = getattr(sfmd, "_dense_obs_cache", None)
+    if cached is not None and cached[0] == (sfmd.n_points, str(dtype)):
+        return cached[1], cached[2]
     N, V = sfmd.n_points, sfmd.n_cameras
     xy = np.zeros((N, V, 2), dtype=dtype)
     mask = np.zeros((N, V), dtype=bool)
-    for n in range(N):
-        for c, p in zip(sfmd.obs_cam[n], np.asarray(sfmd.obs_xy[n]).reshape(-1, 2)):
-            xy[n, int(c)] = p
-            mask[n, int(c)] = True
+    if N:
+        counts = np.asarray([len(c) for c in sfmd.obs_cam])
+        rows = np.repeat(np.arange(N), counts)
+        cams = np.concatenate([np.asarray(c, np.int64).reshape(-1)
+                               for c in sfmd.obs_cam])
+        pts = np.concatenate([np.asarray(p, np.float64).reshape(-1, 2)
+                              for p in sfmd.obs_xy])
+        xy[rows, cams] = pts
+        mask[rows, cams] = True
+    object.__setattr__(sfmd, "_dense_obs_cache",
+                       ((N, str(dtype)), xy, mask))
     return xy, mask
 
 
@@ -376,153 +389,276 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
     return seeds_np, np.concatenate(seed_ref)
 
 
+# pack_follow_outputs meta column layout (following.py)
+_M_TOTAL = 0
+_M_FSEG, _M_FT = slice(1, 4), slice(4, 7)
+_M_BSEG, _M_BT = slice(7, 10), slice(10, 13)
+_M_FNS, _M_BNS = 13, 14
+_M_FXY, _M_BXY = slice(15, 21), slice(21, 27)
+_M_FPERM, _M_FDIRS = slice(27, 30), slice(30, 33)
+_M_BPERM, _M_BDIRS = slice(33, 36), slice(36, 39)
+
+
 def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
                 ctx: MatchingContext,
                 manager: "matches_mod.MatchesManager",
-                seed_chunk: int = 2048, seed_id_offset: int = 0):
-    """Phase B shared by all stages: dedup seeds against `manager`,
-    follow them bidirectionally, claim swept intervals, and collect the
-    emitted chain points.  Returns (X, obs3, cams3, refs, seed_ids,
-    orders) or None."""
+                seed_chunk: int = 2048, seed_id_offset: int = 0,
+                max_continuation_rounds: int = 8):
+    """Phase B shared by all stages: follow all seeds bidirectionally,
+    resolve collisions POST-HOC in seed-index order against `manager`
+    (a seed is suppressed only by arcs of ACCEPTED matches, exactly the
+    reference's sequential interval skip — polyline_matching.cpp:173-190),
+    claim accepted arcs, and collect the emitted chain points.
+
+    Chains that hit `max_follow_steps` are continued from their final
+    position in follow-up rounds with the direction configuration
+    pinned (SURVEY §7 hard-part 1: "chains longer than the bound
+    continue in a next sweep round"; parity target: the unbounded while
+    at plg_matching.cpp:765-795).
+
+    Returns (X, obs3, cams3, refs, seed_ids, orders) or None."""
     cfg = ctx.config
-    V = ctx.P_mats.shape[0]
     seed_chunk = -(-seed_chunk // ctx.n_shards) * ctx.n_shards
-    # within-batch seed dedup: one seed per starting-interval bucket
-    # (parity: the reference skips seeds on already-matched intervals,
-    # polyline_matching.cpp:173-190)
-    keep0 = matches_mod.dedup_seed_keys(
-        seeds_np["cams"], seeds_np["pl_id"], seeds_np["seg"],
-        seeds_np["t"], np.asarray(ctx.plg_length))
-    seeds_np = {k: v[keep0] for k, v in seeds_np.items()}
-    seed_ref = seed_ref[keep0]
     S = len(seed_ref)
 
-    # ---- follow, chunked over seeds (chunk-order claiming)
     all_X, all_obs3, all_cams3, all_ref = [], [], [], []
     all_seed, all_order = [], []
-    for lo in range(0, S, seed_chunk):
-        hi = min(lo + seed_chunk, S)
-        pad = seed_chunk - (hi - lo)
-        # cross-chunk dedup: drop seeds whose starting interval was
-        # claimed by an earlier chunk
-        fresh = ~manager.is_matched(
-            seeds_np["cams"][lo:hi, 0], seeds_np["pl_id"][lo:hi, 0],
-            seeds_np["seg"][lo:hi, 0], seeds_np["t"][lo:hi, 0])
 
-        def padded(k, fill=0):
-            a = seeds_np[k][lo:hi]
+    def run_follow(chunk: dict, valid_np, fixed_perm=None,
+                   fixed_dirs=None, min_steps=None):
+        """Follow one padded chunk; returns (rows, meta) numpy."""
+        pad = seed_chunk - len(valid_np)
+
+        def padded(a, fill=0):
             return jnp.asarray(np.pad(
                 a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                 constant_values=fill))
         seeds = following.SeedTuple(
-            cams=padded("cams"), pl_id=padded("pl_id"), seg=padded("seg"),
-            t=padded("t"), xy=padded("xy"), X=padded("X"),
-            valid=jnp.asarray(np.pad(fresh, (0, pad))))
-        if ctx.mesh is not None:
-            from edgegraph3d_tpu.parallel import sharded
-            fwd, bwd, total_dev = sharded.sharded_follow_bidirectional(
-                ctx.mesh, seeds, ctx.plg_coords, ctx.plg_length,
-                ctx.P_mats, ctx.F_table, cfg, cfg.max_follow_steps)
+            cams=padded(chunk["cams"]), pl_id=padded(chunk["pl_id"]),
+            seg=padded(chunk["seg"]), t=padded(chunk["t"]),
+            xy=padded(chunk["xy"]), X=padded(chunk["X"]),
+            valid=jnp.asarray(np.pad(valid_np, (0, pad))))
+        if fixed_perm is None:
+            if ctx.mesh is not None:
+                from edgegraph3d_tpu.parallel import sharded
+                fwd, bwd, _ = sharded.sharded_follow_bidirectional(
+                    ctx.mesh, seeds, ctx.plg_coords, ctx.plg_length,
+                    ctx.P_mats, ctx.F_table, cfg, cfg.max_follow_steps)
+            else:
+                fwd, bwd, _ = following.follow_seeds_bidirectional(
+                    seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
+                    ctx.F_table, cfg, cfg.max_follow_steps)
         else:
-            fwd, bwd, total_dev = following.follow_seeds_bidirectional(
-                seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
-                ctx.F_table, cfg, cfg.max_follow_steps)
-        # compact emitted points on device: 2 transfers per chunk
-        # instead of ~20 padded ones (the tunnel moves ~30 MB/s)
+            fp = padded(fixed_perm)
+            fd = padded(fixed_dirs)
+            if ctx.mesh is not None:
+                from edgegraph3d_tpu.parallel import sharded
+                fwd = sharded.sharded_follow_fixed(
+                    ctx.mesh, seeds, ctx.plg_coords, ctx.plg_length,
+                    ctx.P_mats, ctx.F_table, cfg, cfg.max_follow_steps,
+                    fp, fd)
+            else:
+                fwd = following.follow_seeds(
+                    seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats,
+                    ctx.F_table, jnp.int32(1), cfg, cfg.max_follow_steps,
+                    fixed_perm=fp, fixed_dirs=fd)
+            bwd = following.dead_follow_result(fwd, seeds)
         cap = 32 * seed_chunk
+        ms = cfg.new_point_min_steps if min_steps is None else min_steps
         buf, n_emit, meta = following.pack_follow_outputs(
-            fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap)
+            fwd, bwd, seeds.valid, ms, cap)
         if int(n_emit) > cap:
-            # dense chunk: repack at full width (2 directions x S x T
-            # rows) like the seed-sweep call sites; checked BEFORE any
-            # interval claiming so the manager state stays consistent
+            # dense chunk: repack at full width (2 directions x S x T)
             cap = 2 * seed_chunk * cfg.max_follow_steps
             buf, n_emit, meta = following.pack_follow_outputs(
-                fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap)
-        meta = np.asarray(meta)
-        total = meta[:, 0].astype(np.int64)
-        keep_seed = (total >= cfg.new_point_min_steps) & np.pad(
-            fresh, (0, pad))
-
-        # claim swept arcs on all tuple views
-        ks_all = np.flatnonzero(keep_seed)
-        ks_all = ks_all[ks_all < hi - lo]
-        cams_np = seeds_np["cams"][lo:hi]
-        pl_np = seeds_np["pl_id"][lo:hi]
-        seg_np = seeds_np["seg"][lo:hi]
-        t_np = seeds_np["t"][lo:hi]
-        for off in (1, 7):     # meta cols: fwd seg/t at 1:7, bwd at 7:13
-            fs = meta[:, off:off + 3]
-            ft = meta[:, off + 3:off + 6]
-            for k in range(3):
-                manager.mark_spans(
-                    cams_np[ks_all, k], pl_np[ks_all, k],
-                    seg_np[ks_all, k], t_np[ks_all, k],
-                    fs[ks_all, k].astype(np.int64), ft[ks_all, k])
-
+                fwd, bwd, seeds.valid, ms, cap)
         from edgegraph3d_tpu.ops.compaction import to_host
-        rows, n_int = to_host(buf, n_emit)
-        if n_int:
-            sidx = rows[:, 9].astype(np.int64)
-            all_X.append(rows[:, 0:3].astype(np.float64))
-            all_obs3.append(rows[:, 3:9].reshape(-1, 3, 2))
-            all_cams3.append(cams_np[sidx])
-            all_ref.append(seed_ref[lo + sidx])
-            all_seed.append(lo + sidx)
-            all_order.append(rows[:, 10].astype(np.int64))
-        if len(ks_all):   # the seed points themselves (order 0)
-            all_X.append(seeds_np["X"][lo:hi][ks_all])
-            all_obs3.append(seeds_np["xy"][lo:hi][ks_all])
-            all_cams3.append(cams_np[ks_all])
-            all_ref.append(seed_ref[lo + ks_all])
-            all_seed.append(lo + ks_all)
-            all_order.append(np.zeros(len(ks_all), np.int64))
+        rows, _ = to_host(buf, n_emit)
+        return rows, np.asarray(meta)[: len(valid_np)]
+
+    def queue_continuations(pending, chunk, meta, accept, seed_gid,
+                            order_base_f, order_base_b, first_round,
+                            sign_map=None):
+        """Collect truncated directions for the next round.  In
+        continuation rounds only the fwd half runs (the call is
+        direction-pinned), and the new entry inherits the parent's
+        chain-order sign."""
+        T = cfg.max_follow_steps
+        for half, ns_col, seg_sl, t_sl, xy_sl, perm_sl, dirs_sl, base in (
+            (1, _M_FNS, _M_FSEG, _M_FT, _M_FXY, _M_FPERM, _M_FDIRS,
+             order_base_f),
+            (-1, _M_BNS, _M_BSEG, _M_BT, _M_BXY, _M_BPERM, _M_BDIRS,
+             order_base_b),
+        ):
+            if not first_round and half < 0:
+                continue     # continuation rounds only run the fwd half
+            trunc = accept & (meta[:, ns_col] >= T)
+            for i in np.flatnonzero(trunc):
+                sign = half if sign_map is None else int(sign_map[i])
+                pending.append(dict(
+                    cams=chunk["cams"][i], pl_id=chunk["pl_id"][i],
+                    seg=meta[i, seg_sl].astype(np.int32),
+                    t=meta[i, t_sl].astype(chunk["t"].dtype),
+                    xy=meta[i, xy_sl].reshape(3, 2),
+                    X=chunk["X"][i],
+                    perm=meta[i, perm_sl].astype(np.int32),
+                    dirs=meta[i, dirs_sl].astype(np.int32),
+                    sign=sign, gid=seed_gid[i],
+                    ref=chunk["_ref"][i],
+                    base=base[i] + int(meta[i, ns_col])))
+        manager.counters["chains_truncated"] += int(
+            (accept & ((meta[:, _M_FNS] >= T)
+                       | (meta[:, _M_BNS] >= T))).sum())
+
+    def collect_rows(rows, chunk, seed_gid, accept, sign_map, base_f,
+                     base_b):
+        if len(rows) == 0:
+            return
+        sidx = rows[:, 9].astype(np.int64)
+        keep = accept[sidx]
+        rows = rows[keep]
+        sidx = sidx[keep]
+        order = rows[:, 10].astype(np.int64)
+        fwd_rows = order > 0
+        sign = np.where(fwd_rows, sign_map[sidx], -sign_map[sidx])
+        base = np.where(fwd_rows, base_f[sidx], base_b[sidx])
+        all_X.append(rows[:, 0:3].astype(np.float64))
+        all_obs3.append(rows[:, 3:9].reshape(-1, 3, 2))
+        all_cams3.append(chunk["cams"][sidx])
+        all_ref.append(chunk["_ref"][sidx])
+        all_seed.append(seed_gid[sidx])
+        all_order.append(sign * (base + np.abs(order)))
+
+    # ---- round 0: fresh seeds, bidirectional, full resolve
+    pending = []
+    for lo in range(0, S, seed_chunk):
+        hi = min(lo + seed_chunk, S)
+        chunk = {k: v[lo:hi] for k, v in seeds_np.items()}
+        chunk["_ref"] = seed_ref[lo:hi]
+        n = hi - lo
+        rows, meta = run_follow(chunk, np.ones(n, bool))
+        success = meta[:, _M_TOTAL] >= cfg.new_point_min_steps
+        accept = manager.resolve_and_claim(
+            success, chunk["cams"], chunk["pl_id"], chunk["seg"],
+            chunk["t"],
+            meta[:, _M_FSEG].astype(np.int64), meta[:, _M_FT],
+            meta[:, _M_BSEG].astype(np.int64), meta[:, _M_BT])
+        gid = np.arange(lo, hi) + seed_id_offset
+        zeros = np.zeros(n, np.int64)
+        ones = np.ones(n, np.int64)
+        collect_rows(rows, chunk, gid, accept, ones, zeros, zeros)
+        # the seed points themselves (order 0)
+        ks = np.flatnonzero(accept)
+        if len(ks):
+            all_X.append(chunk["X"][ks])
+            all_obs3.append(chunk["xy"][ks])
+            all_cams3.append(chunk["cams"][ks])
+            all_ref.append(chunk["_ref"][ks])
+            all_seed.append(gid[ks])
+            all_order.append(np.zeros(len(ks), np.int64))
+        queue_continuations(pending, chunk, meta, accept, gid,
+                            zeros, zeros, first_round=True)
+
+    # ---- continuation rounds (direction pinned, start check skipped:
+    # the chain's own claim covers its final position)
+    rnd = 0
+    while pending and rnd < max_continuation_rounds:
+        rnd += 1
+        manager.counters["continuation_rounds"] = max(
+            manager.counters["continuation_rounds"], rnd)
+        entries, pending = pending, []
+        for lo in range(0, len(entries), seed_chunk):
+            batch = entries[lo:lo + seed_chunk]
+            n = len(batch)
+            chunk = {k: np.stack([e[k] for e in batch])
+                     for k in ("cams", "pl_id", "seg", "t", "xy", "X")}
+            chunk["_ref"] = np.asarray([e["ref"] for e in batch])
+            perm = np.stack([e["perm"] for e in batch])
+            dirs = np.stack([e["dirs"] for e in batch])
+            gid = np.asarray([e["gid"] for e in batch])
+            sign_map = np.asarray([e["sign"] for e in batch])
+            base = np.asarray([e["base"] for e in batch])
+            rows, meta = run_follow(chunk, np.ones(n, bool),
+                                    fixed_perm=perm, fixed_dirs=dirs,
+                                    min_steps=1)
+            success = meta[:, _M_TOTAL] >= 1
+            accept = manager.resolve_and_claim(
+                success, chunk["cams"], chunk["pl_id"], chunk["seg"],
+                chunk["t"],
+                meta[:, _M_FSEG].astype(np.int64), meta[:, _M_FT],
+                meta[:, _M_BSEG].astype(np.int64), meta[:, _M_BT],
+                skip_start_check=True)
+            collect_rows(rows, chunk, gid, accept, sign_map, base,
+                         base)
+            queue_continuations(pending, chunk, meta, accept, gid,
+                                base, base, first_round=False,
+                                sign_map=sign_map)
 
     if not all_X:
         return None
 
     return (np.concatenate(all_X), np.concatenate(all_obs3),
             np.concatenate(all_cams3), np.concatenate(all_ref),
-            np.concatenate(all_seed) + seed_id_offset,
+            np.concatenate(all_seed),
             np.concatenate(all_order))
 
 
 def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
-                        seed_ids, orders) -> EdgePoints:
-    """Phase C shared by all stages: expand every point to all views and
-    assemble the EdgePoints result."""
+                        seed_ids, orders,
+                        chain_t: int = 64) -> EdgePoints:
+    """Phase C shared by all stages: chain-aware expansion of every
+    swept chain to all other views with GN re-validation (parity:
+    expand_allpoints_to_other_view_using_plmap, triangulation.cpp:742-919
+    + em_add_new_observation_to_3Dpositions re-refinement :347-466 —
+    see matching/expansion.py for the TPU formulation), then EdgePoints
+    assembly.  Point coordinates take the per-view re-refined values."""
+    from edgegraph3d_tpu.matching import expansion
+
     cfg = ctx.config
     V = ctx.P_mats.shape[0]
     Np = len(X)
+    if Np == 0:
+        return _empty_points(V)
+    gather, vld = expansion.group_chains(seed_ids, orders, max_t=chain_t)
+    C = len(gather)
     obs_xy = np.zeros((Np, V, 2), dtype=np.float32)
     obs_mask = np.zeros((Np, V), dtype=bool)
-    chunk = -(-4096 // ctx.n_shards) * ctx.n_shards
-    for lo in range(0, Np, chunk):
-        hi = min(lo + chunk, Np)
+    X_out = np.asarray(X, np.float64).copy()
+    X32 = np.asarray(X, np.float32)
+    obs3_32 = np.asarray(obs3, np.float32)
+    chunk = -(-256 // ctx.n_shards) * ctx.n_shards
+    for lo in range(0, C, chunk):
+        hi = min(lo + chunk, C)
         pad = chunk - (hi - lo)
-        Xc = jnp.asarray(np.pad(X[lo:hi].astype(np.float32),
-                                ((0, pad), (0, 0))))
+        gi = np.pad(gather[lo:hi], ((0, pad), (0, 0)))
+        vl = np.pad(vld[lo:hi], ((0, pad), (0, 0)))
+        Xc = jnp.asarray(X32[gi])
+        o3 = jnp.asarray(obs3_32[gi])
+        cm = jnp.asarray(cams3[gi[:, 0]].astype(np.int32))
+        cv = jnp.asarray(vl)
         if ctx.mesh is not None:
             from edgegraph3d_tpu.parallel import sharded
-            exy, eok = sharded.sharded_expand(
+            Xr, oxy, ook, _ = sharded.sharded_expand_chains(
                 ctx.mesh, ctx.plg_coords, ctx.grids, ctx.P_mats,
-                ctx.cell, Xc, cfg)
+                ctx.cell, Xc, o3, cm, cv, cfg)
         else:
-            exy, eok = _expand_sweep(ctx.plg_coords, ctx.grids,
-                                     ctx.P_mats, ctx.cell, Xc, cfg)
-        # one packed transfer per chunk (xy + mask): transfer count is
-        # what the tunnel charges for (see ops/compaction.py)
-        S = exy.shape[0]
+            Xr, oxy, ook, _ = expansion.expand_chains_sweep(
+                ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.cell,
+                Xc, o3, cm, cv, cfg)
+        # one packed transfer per chunk (X' + xy + mask): transfer count
+        # is what the tunnel charges for (see ops/compaction.py)
+        CT = Xr.shape[0] * Xr.shape[1]
         packed = np.asarray(jnp.concatenate(
-            [exy.reshape(S, -1), eok.astype(exy.dtype)], axis=1))
-        obs_xy[lo:hi] = packed[: hi - lo, : V * 2].reshape(-1, V, 2)
-        obs_mask[lo:hi] = packed[: hi - lo, V * 2:] > 0.5
-    # tuple views: exact tracked coordinates override the expansion
-    for k in range(3):
-        obs_xy[np.arange(Np), cams3[:, k]] = obs3[:, k]
-        obs_mask[np.arange(Np), cams3[:, k]] = True
+            [Xr.reshape(CT, 3), oxy.reshape(CT, V * 2),
+             ook.astype(Xr.dtype).reshape(CT, V)],
+            axis=1)).reshape(Xr.shape[0], chain_t, 3 + 3 * V)
+        rows = gi[vl]
+        sel = packed[vl]
+        X_out[rows] = sel[:, :3]
+        obs_xy[rows] = sel[:, 3:3 + 2 * V].reshape(-1, V, 2)
+        obs_mask[rows] = sel[:, 3 + 2 * V:] > 0.5
 
-    return EdgePoints(X=X, obs_xy=obs_xy, obs_mask=obs_mask,
+    return EdgePoints(X=X_out, obs_xy=obs_xy, obs_mask=obs_mask,
                       seed_refpoint=refs, seed_id=seed_ids,
                       chain_order=orders)
 

@@ -51,18 +51,23 @@ def closest_point_on_polyline(coords: jnp.ndarray, length: jnp.ndarray,
     coords [L,2], length scalar int, pt [2].  Invalid slots -> +inf.
     """
     L = coords.shape[0]
-    a = coords[:-1]
-    b = coords[1:]
+    px = coords[:, 0]
+    py = coords[:, 1]
+    ax, bx = px[:-1], px[1:]
+    ay, by = py[:-1], py[1:]
     seg_valid = jnp.arange(L - 1) < (length - 1)
-    ab = b - a
-    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
-    t = jnp.clip(jnp.sum((pt - a) * ab, axis=-1) / denom, 0.0, 1.0)
-    proj = a + t[:, None] * ab
-    d2 = jnp.sum((pt - proj) ** 2, axis=-1)
+    ux = bx - ax
+    uy = by - ay
+    denom = jnp.maximum(ux * ux + uy * uy, 1e-12)
+    t = jnp.clip(((pt[0] - ax) * ux + (pt[1] - ay) * uy) / denom, 0.0, 1.0)
+    qx = ax + t * ux
+    qy = ay + t * uy
+    d2 = (pt[0] - qx) ** 2 + (pt[1] - qy) ** 2
     d2 = jnp.where(seg_valid, d2, BIG)
     k = jnp.argmin(d2)
     dist = jnp.sqrt(d2[k])
-    return dist, PLPoint(seg=k.astype(jnp.int32), t=t[k], xy=proj[k])
+    return dist, PLPoint(seg=k.astype(jnp.int32), t=t[k],
+                         xy=jnp.stack([qx[k], qy[k]]))
 
 
 # ----------------------------------------------------------------------
@@ -80,37 +85,46 @@ def advance_by_distance(coords: jnp.ndarray, length: jnp.ndarray,
                         radius: float) -> AdvanceResult:
     """Next point along the walk at euclidean distance `radius` from the
     current point (parity: next_pl_point_by_distance — the first circle
-    crossing in walk order; reaching the extreme first -> flag)."""
+    crossing in walk order; reaching the extreme first -> flag).
+
+    Component (x/y) math on [L] vectors: a trailing coordinate dim of 2
+    tiles to 128 TPU lanes and wastes 64x the VPU (see
+    gauss_newton_batched)."""
     L = coords.shape[0]
-    c = plp.xy
-    d = jnp.linalg.norm(coords - c[None, :], axis=-1)          # [L]
+    px = coords[:, 0]
+    py = coords[:, 1]
+    cx, cy = plp.xy[0], plp.xy[1]
+    d2 = (px - cx) ** 2 + (py - cy) ** 2                       # [L]
     idx = jnp.arange(L - 1)
+    r2 = radius * radius
 
     fwd = direction > 0
     # segment k spans coords[k] -> coords[k+1]; in walk order the "far"
     # endpoint is k+1 (fwd) or k (bwd)
-    far_d = jnp.where(fwd, d[1:], d[:-1])
+    far_d2 = jnp.where(fwd, d2[1:], d2[:-1])
     ahead = jnp.where(fwd, idx >= plp.seg, idx <= plp.seg)
     seg_valid = idx < (length - 1)
-    hit = ahead & seg_valid & (far_d >= radius)
+    hit = ahead & seg_valid & (far_d2 >= r2)
     any_hit = jnp.any(hit)
     # first hit in walk order
     walk_pos = jnp.where(fwd, idx, -idx)
     k = jnp.argmin(jnp.where(hit, walk_pos, BIG))
     k = k.astype(jnp.int32)
 
-    a = coords[k]
-    b = coords[k + 1]
-    u = b - a
-    A = jnp.maximum(jnp.sum(u * u), 1e-12)
-    B = 2.0 * jnp.sum(u * (a - c))
-    C = jnp.sum((a - c) ** 2) - radius * radius
+    ax, ay = px[k], py[k]
+    ux = px[k + 1] - ax
+    uy = py[k + 1] - ay
+    fx = ax - cx
+    fy = ay - cy
+    A = jnp.maximum(ux * ux + uy * uy, 1e-12)
+    B = 2.0 * (ux * fx + uy * fy)
+    C = fx * fx + fy * fy - r2
     disc = jnp.maximum(B * B - 4 * A * C, 0.0)
     sq = jnp.sqrt(disc)
     # forward root in walk direction: larger s for fwd, smaller for bwd
     s = jnp.where(fwd, (-B + sq) / (2 * A), (-B - sq) / (2 * A))
     s = jnp.clip(s, 0.0, 1.0)
-    xy = a + s * u
+    xy = jnp.stack([ax + s * ux, ay + s * uy])
     new = PLPoint(seg=k, t=s, xy=xy)
     return AdvanceResult(plp=new, reached_extreme=~any_hit, found=any_hit)
 
@@ -119,24 +133,33 @@ def advance_by_distance(coords: jnp.ndarray, length: jnp.ndarray,
 # Segment x line intersection (batched over segments)
 # ----------------------------------------------------------------------
 
-def _segments_line_intersection(a, b, line, quasi_cos, quasi_dist):
-    """For segments a->b [K,2] and a normalized line [3], return
-    (has_int [K], s [K], quasi [K]) (parity:
-    intersect_segment_line_no_quasiparallel, geometric_utilities.cpp:272-430)."""
-    sa = a[:, 0] * line[0] + a[:, 1] * line[1] + line[2]
-    sb = b[:, 0] * line[0] + b[:, 1] * line[1] + line[2]
+def _segments_line_intersection_xy(ax, ay, bx, by, line, quasi_cos,
+                                   quasi_dist):
+    """For segments (ax,ay)->(bx,by) [K] and a normalized line [3],
+    return (has_int [K], s [K], quasi [K]) (parity:
+    intersect_segment_line_no_quasiparallel,
+    geometric_utilities.cpp:272-430).  Component [K]-vector math."""
+    sa = ax * line[0] + ay * line[1] + line[2]
+    sb = bx * line[0] + by * line[1] + line[2]
     diff = sa - sb
     crosses = (sa * sb) <= 0.0
     parallel = jnp.abs(diff) < 1e-9
     s = jnp.where(parallel, 0.0, sa / jnp.where(parallel, 1.0, diff))
-    u = b - a
-    ulen = jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-12)
+    ux = bx - ax
+    uy = by - ay
+    ulen = jnp.maximum(jnp.sqrt(ux * ux + uy * uy), 1e-12)
     # line direction is (-line[1], line[0]); cos of angle to segment
-    cos = jnp.abs(-u[:, 0] * line[1] + u[:, 1] * line[0]) / ulen
+    cos = jnp.abs(-ux * line[1] + uy * line[0]) / ulen
     near = jnp.minimum(jnp.abs(sa), jnp.abs(sb)) <= quasi_dist
     quasi = (cos > quasi_cos) & near
     has = crosses & ~parallel & ~quasi
     return has, s, quasi
+
+
+def _segments_line_intersection(a, b, line, quasi_cos, quasi_dist):
+    """[K,2]-endpoint wrapper around _segments_line_intersection_xy."""
+    return _segments_line_intersection_xy(
+        a[:, 0], a[:, 1], b[:, 0], b[:, 1], line, quasi_cos, quasi_dist)
 
 
 class IntersectResult(NamedTuple):
@@ -160,10 +183,12 @@ def next_intersection_bounded(coords: jnp.ndarray, length: jnp.ndarray,
     variant (:579-664)."""
     L = coords.shape[0]
     idx = jnp.arange(L - 1)
-    a = coords[:-1]
-    b = coords[1:]
-    has, s, quasi = _segments_line_intersection(a, b, line, quasi_cos,
-                                                quasi_dist)
+    px = coords[:, 0]
+    py = coords[:, 1]
+    ax, bx = px[:-1], px[1:]
+    ay, by = py[:-1], py[1:]
+    has, s, quasi = _segments_line_intersection_xy(
+        ax, ay, bx, by, line, quasi_cos, quasi_dist)
     fwd = direction > 0
     seg_valid = idx < (length - 1)
     ahead = jnp.where(fwd, idx >= plp.seg, idx <= plp.seg)
@@ -179,13 +204,14 @@ def next_intersection_bounded(coords: jnp.ndarray, length: jnp.ndarray,
     any_event = jnp.any(event)
     is_quasi = event_q[first] & any_event
 
-    xy = a[first] + s[first] * (b[first] - a[first])
-    dsq = jnp.sum((xy - plp.xy) ** 2)
+    sx = ax[first] + s[first] * (bx[first] - ax[first])
+    sy = ay[first] + s[first] * (by[first] - ay[first])
+    dsq = (sx - plp.xy[0]) ** 2 + (sy - plp.xy[1]) ** 2
     in_bounds = (dsq >= min_dist * min_dist) & (dsq <= max_dist * max_dist)
     found = any_event & ~is_quasi & in_bounds
     violated = any_event & ~is_quasi & ~in_bounds
     return IntersectResult(
-        plp=PLPoint(seg=first, t=s[first], xy=xy),
+        plp=PLPoint(seg=first, t=s[first], xy=jnp.stack([sx, sy])),
         found=found,
         reached_extreme=~any_event,
         quasiparallel=is_quasi,

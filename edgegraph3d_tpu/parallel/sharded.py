@@ -152,6 +152,31 @@ def sharded_follow_bidirectional(mesh, seeds, plg_coords, plg_length,
     return fn(seeds, plg_coords, plg_length, P_mats, F_table)
 
 
+def sharded_follow_fixed(mesh, seeds, plg_coords, plg_length, P_mats,
+                         F_table, cfg, max_steps: int, perm, dirs):
+    """Direction-pinned continuation sweep with the seed axis sharded
+    (chains that hit max_steps resume from their final position)."""
+    import jax.numpy as jnp
+
+    from edgegraph3d_tpu.matching import following
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+
+    def local(seeds, perm, dirs, plg_coords, plg_length, P_mats,
+              F_table):
+        return following.follow_seeds(
+            seeds, plg_coords, plg_length, P_mats, F_table,
+            jnp.int32(1), cfg, max_steps, fixed_perm=perm,
+            fixed_dirs=dirs)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(sh, sh, sh, rep, rep, rep, rep),
+                   out_specs=sh, check_vma=False)
+    return fn(seeds, perm, dirs, plg_coords, plg_length, P_mats,
+              F_table)
+
+
 def sharded_expand(mesh, plg_coords, grids, P_mats, cell, X, cfg):
     """All-view expansion with the 3D-point axis sharded."""
     from edgegraph3d_tpu.matching import refpoints as refpoints_mod
@@ -167,3 +192,24 @@ def sharded_expand(mesh, plg_coords, grids, P_mats, cell, X, cfg):
                    in_specs=(sh, rep, rep, rep),
                    out_specs=sh, check_vma=False)
     return fn(X, plg_coords, grids, P_mats)
+
+
+def sharded_expand_chains(mesh, plg_coords, grids, P_mats, cell,
+                          X, obs3, cams3, chain_valid, cfg):
+    """Chain-aware all-view expansion with the CHAIN axis sharded
+    (matching/expansion.py); each device expands its slice of chains
+    against replicated PLG tensors — no collectives."""
+    from edgegraph3d_tpu.matching import expansion
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+
+    def local(X, obs3, cams3, chain_valid, plg_coords, grids, P_mats):
+        return expansion.expand_chains_sweep(
+            plg_coords, grids, P_mats, cell, X, obs3, cams3,
+            chain_valid, cfg)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(sh, sh, sh, sh, rep, rep, rep),
+                   out_specs=sh, check_vma=False)
+    return fn(X, obs3, cams3, chain_valid, plg_coords, grids, P_mats)
