@@ -52,6 +52,7 @@ def get_extraction_lib():
             fn.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),

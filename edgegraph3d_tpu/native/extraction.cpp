@@ -34,38 +34,30 @@ inline int64_t key_of(float x, float y) {
 }
 
 // ---------------------------------------------------------------- stage 1
-// 4 checkerboard phases iterated to a fixpoint — IDENTICAL semantics to
-// extraction.py::remove_useless_corners so both implementations produce
-// the same cleaned mask (decisions within one (i%2, j%2) class only read
-// the 8-neighborhood, so they are order-independent within a phase).
+// EXACT reference semantics: ONE sequential row-major scan over the
+// mutating mask, clearing redundant L-corner pixels in place so later
+// pixels see the cleared state — identical to extraction.py::
+// remove_useless_corners and to the reference's
+// convertEdgeImagesPixelToNodesNoSquaresNoTriangles_remove_useless_hubs
+// (convert_edge_images_pixel_to_segment.cpp:294-343), including its
+// `i > 1` / `j > 1` bound guards.
 void clean_corners(std::vector<uint8_t>& m, int H, int W) {
   auto at = [&](int i, int j) -> bool {
     return i >= 0 && i < H && j >= 0 && j < W && m[(size_t)i * W + j];
   };
-  std::vector<int> to_clear;
-  for (int sweep = 0; sweep < 8; sweep++) {
-    bool changed = false;
-    for (int pa = 0; pa < 2; pa++)
-      for (int pb = 0; pb < 2; pb++) {
-        to_clear.clear();
-        for (int i = pa; i < H; i += 2)
-          for (int j = pb; j < W; j += 2) {
-            if (!m[(size_t)i * W + j]) continue;
-            bool N = at(i - 1, j), S = at(i + 1, j), Wn = at(i, j - 1),
-                 E = at(i, j + 1);
-            bool NE = at(i - 1, j + 1), NW = at(i - 1, j - 1),
-                 SE = at(i + 1, j + 1), SW = at(i + 1, j - 1);
-            if ((N && Wn && !SE) || (N && E && !SW) || (S && E && !NW) ||
-                (S && Wn && !NE))
-              to_clear.push_back(i * W + j);
-          }
-        if (!to_clear.empty()) {
-          for (int idx : to_clear) m[(size_t)idx] = 0;
-          changed = true;
-        }
-      }
-    if (!changed) break;
-  }
+  for (int i = 0; i < H; i++)
+    for (int j = 0; j < W; j++) {
+      if (!m[(size_t)i * W + j]) continue;
+      bool N = at(i - 1, j), S = at(i + 1, j), Wn = at(i, j - 1),
+           E = at(i, j + 1);
+      bool NE = at(i - 1, j + 1), NW = at(i - 1, j - 1),
+           SE = at(i + 1, j + 1), SW = at(i + 1, j - 1);
+      if ((i > 1 && j > 1 && N && Wn && !SE) ||
+          (i > 1 && j < W - 1 && N && E && !SW) ||
+          (i < H - 1 && j < W - 1 && S && E && !NW) ||
+          (i < H - 1 && j > 1 && S && Wn && !NE))
+        m[(size_t)i * W + j] = 0;
+    }
 }
 
 // ---------------------------------------------------------------- stage 2+3
@@ -74,7 +66,35 @@ struct Graph {
   std::vector<std::vector<int>> adj;
 };
 
-Graph build_graph(const std::vector<uint8_t>& m, int H, int W) {
+// EXACT reference NoCycles semantics (convertEdgeImagePixelToGraph_
+// NoCycles, convert_edge_images_pixel_to_segment.cpp:347-426): forward
+// neighbors C1=E, C2=S, C3=SE, C4=SW (the SW case only for j > 1; the
+// last row/column never act as P), adding an edge only if the pixels
+// are not already connected within `loop_check_dist` hops (bounded
+// BFS, is_connected(a, b, LOOP_CHECK_DIST=8)).
+bool connected_within(const Graph& g, int a, int b, int maxhops,
+                      std::vector<int>& stamp, int tick,
+                      std::vector<std::pair<int, int>>& queue) {
+  if (maxhops <= 0) return a == b;
+  queue.clear();
+  queue.push_back({a, 0});
+  stamp[a] = tick;
+  for (size_t qi = 0; qi < queue.size(); qi++) {
+    int u = queue[qi].first, d = queue[qi].second;
+    if (d >= maxhops) continue;
+    for (int v : g.adj[u]) {
+      if (v == b) return true;
+      if (stamp[v] != tick) {
+        stamp[v] = tick;
+        queue.push_back({v, d + 1});
+      }
+    }
+  }
+  return false;
+}
+
+Graph build_graph(const std::vector<uint8_t>& m, int H, int W,
+                  int loop_check_dist) {
   Graph g;
   std::vector<int> id((size_t)H * W, -1);
   for (int i = 0; i < H; i++)
@@ -84,24 +104,27 @@ Graph build_graph(const std::vector<uint8_t>& m, int H, int W) {
         g.xy.push_back({j + 0.5f, i + 0.5f});
       }
   g.adj.resize(g.xy.size());
-  auto at = [&](int i, int j) -> bool {
-    return i >= 0 && i < H && j >= 0 && j < W && m[(size_t)i * W + j];
+  std::vector<int> stamp(g.xy.size(), -1);
+  std::vector<std::pair<int, int>> queue;
+  int tick = 0;
+  auto try_link = [&](int u, int v) {
+    if (u != v && !connected_within(g, u, v, loop_check_dist, stamp,
+                                    ++tick, queue)) {
+      g.adj[u].push_back(v);
+      g.adj[v].push_back(u);
+    }
   };
-  auto link = [&](int a, int b) {
-    g.adj[a].push_back(b);
-    g.adj[b].push_back(a);
-  };
-  for (int i = 0; i < H; i++)
-    for (int j = 0; j < W; j++) {
+  for (int i = 0; i < H - 1; i++)
+    for (int j = 0; j < W - 1; j++) {
       if (!m[(size_t)i * W + j]) continue;
       int u = id[(size_t)i * W + j];
-      if (at(i, j + 1)) link(u, id[(size_t)i * W + j + 1]);
-      if (at(i + 1, j)) link(u, id[(size_t)(i + 1) * W + j]);
-      // diagonals only when no orthogonal pixel provides the connection
-      if (at(i + 1, j + 1) && !at(i, j + 1) && !at(i + 1, j))
-        link(u, id[(size_t)(i + 1) * W + j + 1]);
-      if (at(i + 1, j - 1) && !at(i, j - 1) && !at(i + 1, j))
-        link(u, id[(size_t)(i + 1) * W + j - 1]);
+      if (m[(size_t)i * W + j + 1]) try_link(u, id[(size_t)i * W + j + 1]);
+      if (m[(size_t)(i + 1) * W + j])
+        try_link(u, id[(size_t)(i + 1) * W + j]);
+      if (m[(size_t)(i + 1) * W + j + 1])
+        try_link(u, id[(size_t)(i + 1) * W + j + 1]);
+      if (j > 1 && m[(size_t)(i + 1) * W + j - 1])
+        try_link(u, id[(size_t)(i + 1) * W + j - 1]);
     }
   return g;
 }
@@ -372,12 +395,13 @@ extern "C" {
 int eg3d_extract_chains(const uint8_t* mask_in, int H, int W,
                         float simplify_tol, float connect_max_dist,
                         int degenerate_loop_min, int split_loop_min,
+                        int loop_check_dist,
                         float* out_coords, int64_t max_coords,
                         int64_t* out_offsets, int64_t max_chains,
                         int64_t* n_chains_out, int64_t* n_coords_out) {
   std::vector<uint8_t> m(mask_in, mask_in + (size_t)H * W);
   clean_corners(m, H, W);
-  Graph g = build_graph(m, H, W);
+  Graph g = build_graph(m, H, W, loop_check_dist);
   std::vector<Chain> chains = trace_chains(g);
 
   // remove invalid + degenerate loops

@@ -50,41 +50,41 @@ def _nbr(m: np.ndarray, dy: int, dx: int) -> np.ndarray:
     return out
 
 
-def remove_useless_corners(mask: np.ndarray, max_sweeps: int = 8) -> np.ndarray:
-    """Clear redundant L-corner pixels.
+def remove_useless_corners(mask: np.ndarray) -> np.ndarray:
+    """Clear redundant L-corner pixels — EXACT reference semantics.
 
-    A pixel with a vertical and a horizontal neighbor whose opposite
-    diagonal is empty carries no connectivity (parity:
+    One sequential row-major scan over the (mutating) mask: a pixel
+    with a vertical and a horizontal neighbor whose opposite diagonal
+    is empty carries no connectivity and is cleared in place, affecting
+    later pixels' decisions (parity:
     convertEdgeImagesPixelToNodesNoSquaresNoTriangles_remove_useless_hubs,
-    convert_edge_images_pixel_to_segment.cpp:294-343).  The reference
-    clears in a sequential row-major scan; here 4 checkerboard phases
-    (decisions within one (i%2, j%2) class are independent — patterns
-    only read the 8-neighborhood) are iterated to a fixpoint.
+    convert_edge_images_pixel_to_segment.cpp:294-343, including its
+    `i > 1` / `j > 1` bound guards).  The production reference path
+    selects exactly this variant at :355 — the square/triangle
+    collapse (:212-293) is a commented-out alternative there and is
+    intentionally not used here either.
+
+    Sparse Python loop over edge pixels (row-major, live reads) — the
+    behavior-defining fallback; native/extraction.cpp is the fast
+    identical path.
     """
     m = mask.copy()
-    ii, jj = np.meshgrid(np.arange(m.shape[0]), np.arange(m.shape[1]),
-                         indexing="ij")
-    phases = [(ii % 2 == a) & (jj % 2 == b)
-              for a in (0, 1) for b in (0, 1)]
-    for _ in range(max_sweeps):
-        changed = False
-        for ph in phases:
-            N = _nbr(m, -1, 0)
-            S = _nbr(m, 1, 0)
-            W = _nbr(m, 0, -1)
-            E = _nbr(m, 0, 1)
-            NE = _nbr(m, -1, 1)
-            NW = _nbr(m, -1, -1)
-            SE = _nbr(m, 1, 1)
-            SW = _nbr(m, 1, -1)
-            useless = ((N & W & ~SE) | (N & E & ~SW)
-                       | (S & E & ~NW) | (S & W & ~NE))
-            clear = m & useless & ph
-            if clear.any():
-                m[clear] = False
-                changed = True
-        if not changed:
-            break
+    H, W = m.shape
+    ys, xs = np.nonzero(m)          # np.nonzero scans row-major
+    for i, j in zip(ys.tolist(), xs.tolist()):
+        n = i > 0 and m[i - 1, j]
+        s = i < H - 1 and m[i + 1, j]
+        w = j > 0 and m[i, j - 1]
+        e = j < W - 1 and m[i, j + 1]
+        se = i < H - 1 and j < W - 1 and m[i + 1, j + 1]
+        sw = i < H - 1 and j > 0 and m[i + 1, j - 1]
+        ne = i > 0 and j < W - 1 and m[i - 1, j + 1]
+        nw = i > 0 and j > 0 and m[i - 1, j - 1]
+        if ((i > 1 and j > 1 and n and w and not se)
+                or (i > 1 and j < W - 1 and n and e and not sw)
+                or (i < H - 1 and j < W - 1 and s and e and not nw)
+                or (i < H - 1 and j > 1 and s and w and not ne)):
+            m[i, j] = False
     return m
 
 
@@ -92,37 +92,69 @@ def remove_useless_corners(mask: np.ndarray, max_sweeps: int = 8) -> np.ndarray:
 # Stage 2: pixel adjacency
 # ----------------------------------------------------------------------
 
-def build_pixel_edges(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Return (node_xy [N,2] float32, edges [E,2] int64).
+def build_pixel_edges(mask: np.ndarray,
+                      loop_check_dist: int = 8) -> tuple[np.ndarray,
+                                                         np.ndarray]:
+    """Return (node_xy [N,2] float32, edges [E,2] int64) — EXACT
+    reference NoCycles semantics.
 
-    8-connectivity with forward neighbors E, S, SE, SW (parity:
-    convertEdgeImagePixelToGraph_NoCycles neighbor set, :362-421);
-    diagonal links are suppressed when an adjacent orthogonal pixel
-    already provides the connection.
-    Node coords are pixel centers (col+0.5, row+0.5), matching
-    convertEdgeImagesPixelToNodes (:68).
+    Row-major scan with forward neighbors C1=E, C2=S, C3=SE, C4=SW
+    (the SW case only for j > 1, and the last row/column never act as
+    P); an edge is added only if the two pixels are NOT already
+    connected within `loop_check_dist` hops — a bounded BFS, exactly
+    `is_connected(a, b, LOOP_CHECK_DIST=8)`
+    (parity: convertEdgeImagePixelToGraph_NoCycles,
+    convert_edge_images_pixel_to_segment.cpp:347-426).
+    Node coords are pixel centers (col+0.5, row+0.5) (:330).
+
+    Sparse Python loop — behavior-defining fallback; the native path
+    (native/extraction.cpp) implements the identical algorithm.
     """
+    from collections import deque
+
     H, Wd = mask.shape
     node_id = np.full((H, Wd), -1, dtype=np.int64)
     ys, xs = np.nonzero(mask)
     node_id[ys, xs] = np.arange(len(ys))
     xy = np.stack([xs + 0.5, ys + 0.5], axis=1).astype(np.float32)
 
-    E = _nbr(mask, 0, 1)
-    S = _nbr(mask, 1, 0)
-    W = _nbr(mask, 0, -1)
-    SE = _nbr(mask, 1, 1)
-    SW = _nbr(mask, 1, -1)
+    adj: list = [[] for _ in range(len(ys))]
+    edges = []
 
-    pairs = []
-    for tgt, dy, dx in ((mask & E, 0, 1), (mask & S, 1, 0),
-                        (mask & SE & ~E & ~S, 1, 1),
-                        (mask & SW & ~W & ~S, 1, -1)):
-        yy, xx = np.nonzero(tgt)
-        if len(yy):
-            pairs.append(np.stack([node_id[yy, xx],
-                                   node_id[yy + dy, xx + dx]], axis=1))
-    edges = (np.concatenate(pairs, axis=0) if pairs
+    def connected_within(a, b, maxhops):
+        if maxhops <= 0:
+            return a == b
+        seen = {a}
+        frontier = deque([(a, 0)])
+        while frontier:
+            u, d = frontier.popleft()
+            if d >= maxhops:
+                continue
+            for v in adj[u]:
+                if v == b:
+                    return True
+                if v not in seen:
+                    seen.add(v)
+                    frontier.append((v, d + 1))
+        return False
+
+    m = mask
+    for i, j in zip(ys.tolist(), xs.tolist()):
+        if i >= H - 1 or j >= Wd - 1:
+            continue
+        u = node_id[i, j]
+        cand = [(i, j + 1), (i + 1, j), (i + 1, j + 1)]
+        if j > 1:
+            cand.append((i + 1, j - 1))
+        for ci, cj in cand:
+            if not m[ci, cj]:
+                continue
+            v = node_id[ci, cj]
+            if u != v and not connected_within(u, v, loop_check_dist):
+                adj[u].append(v)
+                adj[v].append(u)
+                edges.append((u, v))
+    edges = (np.asarray(edges, dtype=np.int64) if edges
              else np.zeros((0, 2), dtype=np.int64))
     return xy, edges
 
@@ -418,6 +450,153 @@ def connect_close_extremes(chains: list[np.ndarray], max_dist: float,
     return chains + bridged
 
 
+def _extreme_direction(chain: np.ndarray, end: int,
+                       probe_len: float = 5.0) -> np.ndarray | None:
+    """Outward direction at a chain extreme, measured over >= probe_len
+    of arc (parity: get_extreme_direction_length_given_length,
+    polyline_graph_2d.cpp:198-240, PROLONG_EXTREME_MIN_SEGMENT_LENGTH 5).
+    Returns None when the whole chain is shorter than probe_len
+    (the reference skips such extremes, hmap_impl.cpp:287-289)."""
+    pts = chain if end == 1 else chain[::-1]
+    init = pts[-1]
+    residual_sq = probe_len * probe_len
+    final = None
+    for i in range(len(pts) - 2, -1, -1):
+        seg = pts[i] - pts[i + 1]
+        ls = float(seg @ seg)
+        if residual_sq <= ls:
+            ratio = residual_sq / max(ls, 1e-12)
+            final = pts[i + 1] + ratio * seg
+            residual_sq = 0.0
+            break
+        residual_sq -= ls
+    if final is None:
+        return None
+    d = init - final
+    n = float(np.linalg.norm(d))
+    return d / n if n > 1e-9 else None
+
+
+def connect_close_extremes_following_direction(
+        chains: list[np.ndarray], max_dist: float = 15.0,
+        min_cos: float = 0.707) -> list[np.ndarray]:
+    """Bridge mutually-closest extreme pairs of different components
+    whose connecting segment aligns with BOTH extremes' outward
+    directions (|cos| >= min_cos) and crosses no existing polyline
+    (parity: connect_close_extremes_following_direction,
+    polyline_graph_2d_hmap_impl.cpp:323-350 +
+    find_closest_pairs_with_max_dist_following_direction,
+    polyline_graph_2d.cpp:1357-1400; constants
+    DIRECT_CONNECTION_EXTREMES_FOLLOWING_DIRECTION_MAXDIST 15 /
+    MINCOS 0.707).  Library surface like the reference's: the
+    production optimize() does not call it."""
+    if not chains:
+        return chains
+    comp = _components_of_chains(chains)
+    counts = _endpoint_counts(chains)
+    ex = []   # (xy, dir, comp)
+    for key, incid in counts.items():
+        if len(incid) != 1:
+            continue
+        i, end = incid[0]
+        d = _extreme_direction(chains[i], end)
+        if d is None:
+            continue
+        xy = chains[i][0] if end == 0 else chains[i][-1]
+        ex.append((xy, d, comp[i]))
+    n = len(ex)
+    if n < 2:
+        return chains
+    xy = np.asarray([e[0] for e in ex])
+    dirs = np.asarray([e[1] for e in ex])
+    comps = np.asarray([e[2] for e in ex])
+    # mutual-closest pairs under the direction constraint
+    diff = xy[None, :] - xy[:, None]                 # [n,n,2] j - i
+    dist_sq = np.sum(diff ** 2, axis=-1)
+    np.fill_diagonal(dist_sq, np.inf)
+    dn = np.maximum(np.sqrt(dist_sq), 1e-12)
+    cos_i = np.abs(np.sum(diff * dirs[:, None], axis=-1)) / dn
+    cos_j = np.abs(np.sum(diff * dirs[None, :], axis=-1)) / dn
+    ok = (dist_sq <= max_dist ** 2) & (cos_i >= min_cos) & \
+        (cos_j >= min_cos)
+    d_ok = np.where(ok, dist_sq, np.inf)
+    closest = np.argmin(d_ok, axis=1)
+    out = list(chains)
+    merged = {int(c): int(c) for c in np.unique(comps)}
+
+    def root(c):
+        while merged[c] != c:
+            c = merged[c]
+        return c
+
+    for i in range(n):
+        j = int(closest[i])
+        if j < i and closest[j] == i and np.isfinite(d_ok[i, j]):
+            ca, cb = root(int(comps[i])), root(int(comps[j]))
+            if ca == cb:
+                continue
+            p1, p2 = xy[i], xy[j]
+            crossing = any(
+                _segments_cross(p1, p2, c[k], c[k + 1])
+                for c in chains for k in range(len(c) - 1))
+            if crossing:
+                continue
+            out.append(np.stack([p1, p2]).astype(np.float32))
+            merged[max(ca, cb)] = min(ca, cb)
+    return out
+
+
+def prolong_extremes_and_intersect(chains: list[np.ndarray],
+                                   max_dist: float,
+                                   probe_len: float = 5.0
+                                   ) -> list[np.ndarray]:
+    """Prolong every extreme along its outward direction; if the ray
+    hits another polyline within `max_dist`, split the hit polyline
+    there and bridge (parity: prolong_extremes_and_intersect,
+    polyline_graph_2d_hmap_impl.cpp:282-321).  Library surface like the
+    reference's: the production optimize() does not call it."""
+    out = [np.asarray(c) for c in chains]
+    counts = _endpoint_counts(out)
+    extremes = [(i, end) for incid in counts.values() if len(incid) == 1
+                for (i, end) in incid]
+    for i, end in extremes:
+        c = out[i]
+        d = _extreme_direction(c, end, probe_len)
+        if d is None:
+            continue
+        origin = c[0] if end == 0 else c[-1]
+        best = None   # (dist, chain_idx, seg_idx, point)
+        for j, cj in enumerate(out):
+            if j == i:
+                continue
+            a = cj[:-1]
+            b = cj[1:]
+            # ray x segment intersection
+            u = b - a
+            denom = d[0] * (-u[:, 1]) + d[1] * u[:, 0]
+            ok = np.abs(denom) > 1e-12
+            rel = a - origin
+            tt = (rel[:, 0] * (-u[:, 1]) + rel[:, 1] * u[:, 0]) \
+                / np.where(ok, denom, 1.0)
+            ss = (d[0] * rel[:, 1] - d[1] * rel[:, 0]) \
+                / np.where(ok, denom, 1.0)
+            hit = ok & (tt > 1e-6) & (tt <= max_dist) & (ss >= 0.0) \
+                & (ss <= 1.0)
+            if hit.any():
+                k = int(np.argmin(np.where(hit, tt, np.inf)))
+                if best is None or tt[k] < best[0]:
+                    best = (float(tt[k]), j, k, a[k] + ss[k] * u[k])
+        if best is not None:
+            _, j, k, pt = best
+            cj = out[j]
+            left = np.concatenate([cj[: k + 1], pt[None]], axis=0)
+            right = np.concatenate([pt[None], cj[k + 1:]], axis=0)
+            out[j] = left.astype(np.float32)
+            out.append(right.astype(np.float32))
+            out.append(np.stack([origin, pt]).astype(np.float32))
+    return out
+
+
 def optimize_chains(chains: list[np.ndarray],
                     config: EdgeGraphConfig) -> list[np.ndarray]:
     """Full optimize() pass order (parity:
@@ -473,6 +652,7 @@ def extract_chains_native(mask: np.ndarray,
         ctypes.c_float(config.simplify_tolerance_px),
         ctypes.c_float(config.connect_extremes_max_dist_px),
         config.degenerate_loop_min_coords, config.split_loop_min_len,
+        config.loop_check_dist,
         coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_coords,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

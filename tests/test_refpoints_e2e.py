@@ -35,8 +35,10 @@ def _dist_to_curves(X, curves):
 def test_produces_points(recon):
     _, _, pts = recon
     # interval dedup keeps one sweep per polyline arc, so the count is
-    # near-unique coverage rather than duplicated sweeps
-    assert len(pts.X) > 30
+    # near-unique coverage rather than duplicated sweeps (the exact
+    # reference corner-clear — one sequential pass, not a fixpoint —
+    # fragments this tiny scene a bit more than the r1 approximation)
+    assert len(pts.X) > 15
 
 
 def test_points_lie_on_curves(recon):
