@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -74,16 +75,28 @@ def quality_metrics(out_sfmd, in_sfmd, curves):
 
 
 def run(n_views: int, width: int, height: int, n_ref: int,
-        max_starting_views: int | None, verbose: bool = True):
+        max_starting_views: int | None, verbose: bool = True,
+        mesh_devices: int = 0):
     """Steady-state throughput: one warmup pass (same jit shapes — the
     padding budgets make every device program's shape independent of the
     refpoint count) triggers all compiles / executable loads, then the
     measured pass times the full workload.  The CPU probe goes through
-    the identical warmup, so `vs_baseline` compares steady states."""
+    the identical warmup, so `vs_baseline` compares steady states.
+
+    mesh_devices > 0 runs every sweep sharded over an n-device 1-D mesh
+    (the scaling probe)."""
     import numpy as np
 
     from edgegraph3d_tpu.config import EdgeGraphConfig
     from edgegraph3d_tpu.pipeline import PipelineStats, run_pipeline
+
+    mesh = None
+    if mesh_devices:
+        import jax
+
+        from edgegraph3d_tpu.parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(mesh_devices,
+                                  devices=jax.devices()[:mesh_devices])
 
     cfg = EdgeGraphConfig().replace(max_polylines_per_view=2048,
                                     max_polyline_len=256,
@@ -96,14 +109,15 @@ def run(n_views: int, width: int, height: int, n_ref: int,
     # leaves shape-dependent programs cold in the measured pass)
     t0 = time.time()
     run_pipeline(sfmd, edge_imgs, cfg,
-                 max_starting_views=max_starting_views)
+                 max_starting_views=max_starting_views, mesh=mesh)
     if verbose:
         print(f"warmup: {time.time() - t0:.2f}s", file=sys.stderr)
 
     stats = PipelineStats()
     t0 = time.time()
     out = run_pipeline(sfmd, edge_imgs, cfg,
-                       max_starting_views=max_starting_views, stats=stats)
+                       max_starting_views=max_starting_views, stats=stats,
+                       mesh=mesh)
     wall = time.time() - t0
     qual = quality_metrics(out, sfmd, curves)
     if verbose:
@@ -112,6 +126,42 @@ def run(n_views: int, width: int, height: int, n_ref: int,
               f"{out.n_points - sfmd.n_points}, quality: {qual}",
               file=sys.stderr)
     return wall, qual
+
+
+def scaling_probe(args):
+    """views/s on 1 vs 8 virtual CPU devices (SURVEY §2.10 scaling
+    target).  Honest caveat, printed with the number: virtual CPU
+    devices SHARE the host's cores, so this measures sharding overhead
+    + load balance of the mesh path, not real-silicon speedup — real
+    scaling needs a pod (the ICI-only collective design is validated by
+    tests/test_sharded_pipeline.py parity and tests/test_multihost.py)."""
+    import subprocess
+    results = {}
+    for n in (1, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n} "
+                            + env.get("XLA_FLAGS", ""))
+        cmd = [sys.executable, os.path.abspath(__file__), "--probe-cpu",
+               "--views", str(args.views), "--width", str(args.width),
+               "--height", str(args.height),
+               "--refpoints-per-edge", str(args.refpoints_per_edge),
+               "--max-starting-views", str(args.max_starting_views)]
+        if n > 1:
+            cmd += ["--mesh-devices", str(n)]
+        out = subprocess.run(cmd, env=env, capture_output=True,
+                             timeout=3600)
+        line = out.stdout.decode().strip().splitlines()[-1]
+        results[n] = json.loads(line)["value"]
+        print(f"{n} virtual device(s): {results[n]} views/s",
+              file=sys.stderr)
+    eff = results[8] / (8 * results[1])
+    print(json.dumps({
+        "metric": "scaling_efficiency_8xvirtual_cpu",
+        "value": round(eff, 4), "unit": "fraction",
+        "vs_baseline": round(results[8] / results[1], 3),
+        "note": "virtual CPU devices share host cores; measures mesh "
+                "overhead/load balance, not silicon speedup"}))
 
 
 def main():
@@ -123,12 +173,21 @@ def main():
     ap.add_argument("--max-starting-views", type=int, default=2)
     ap.add_argument("--probe-cpu", action="store_true",
                     help="force CPU backend and print raw views/s")
+    ap.add_argument("--mesh-devices", type=int, default=0,
+                    help="shard sweeps over an n-device mesh (with "
+                    "--probe-cpu: virtual CPU devices)")
+    ap.add_argument("--scaling-probe", action="store_true",
+                    help="measure views/s at 1 vs 8 virtual CPU devices "
+                    "and print a scaling-efficiency JSON line")
     args = ap.parse_args()
+
+    if args.scaling_probe:
+        scaling_probe(args)
+        return
 
     import jax
     # persistent compile cache: the tunneled TPU pays 30-60s per cold
     # compile; the cache makes driver/bench runs steady-state
-    import os
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -137,7 +196,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     wall, qual = run(args.views, args.width, args.height,
-                     args.refpoints_per_edge, args.max_starting_views)
+                     args.refpoints_per_edge, args.max_starting_views,
+                     mesh_devices=args.mesh_devices)
     views_per_s = args.views / wall
 
     if args.probe_cpu:

@@ -48,6 +48,15 @@ class EdgeGraphConfig:
     #: min common refpoints for estimating F from correspondences
     #: (ref: geometric_utilities.cpp:750-781, 10).
     fmat_min_common_points: int = 10
+    #: F-matrix source: "exact" (from the calibrated cameras,
+    #: geometric_utilities.cpp:683-710) or "lmeds" (robust fit from
+    #: common refpoint correspondences — the reference's production
+    #: path, :750-781).  Default "exact": with bundle-adjusted poses the
+    #: exact F dominates on clean data and stays within a fraction of
+    #: the lmeds recall under pose noise (tests/test_fmat_ab.py
+    #: quantifies the A/B on a noisy-pose scene); "lmeds" reproduces the
+    #: reference's behavior of fitting the observation noise.
+    fmat_source: str = "exact"
 
     # ---- PLG following / matching --------------------------------------
     #: step length on the driving view (ref: plg_matching.hpp:39

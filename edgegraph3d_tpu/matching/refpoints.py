@@ -71,12 +71,57 @@ class MatchingContext:
         return self.mesh.size if self.mesh is not None else 1
 
 
+def lmeds_fundamental_table(sfmd: SfMData, config: EdgeGraphConfig,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """All-pairs F table fit from common refpoint observations with
+    LMedS (the reference's production path:
+    generate_all_fundamental_matrices -> cv::findFundamentalMat(FM_LMEDS)
+    on >= fmat_min_common_points common points,
+    geometric_utilities.cpp:750-781).  Pairs with too few common points
+    get the line (0,0,1) sentinel — epipolar queries then find no
+    crossings, mirroring the reference's invalid-F skip (:824-843)."""
+    from edgegraph3d_tpu.ops.geometry import fundamental_lmeds
+
+    V = sfmd.n_cameras
+    obs_xy, obs_mask = dense_observations(sfmd, dtype=np.float32)
+    pairs = [(i, j) for i in range(V) for j in range(V) if i != j]
+    x1 = np.stack([obs_xy[:, i] for i, _ in pairs])      # [P,N,2]
+    x2 = np.stack([obs_xy[:, j] for _, j in pairs])
+    mm = np.stack([obs_mask[:, i] & obs_mask[:, j] for i, j in pairs])
+    F_out = np.zeros((V, V, 3, 3), np.float32)
+    F_out[:, :, 2, 2] = 1.0          # invalid-F sentinel: line (0,0,1)
+    fit = jax.jit(jax.vmap(
+        lambda a, b, m, k: fundamental_lmeds(
+            a, b, m, k, min_points=config.fmat_min_common_points)))
+    chunk = 256
+    for lo in range(0, len(pairs), chunk):
+        hi = min(lo + chunk, len(pairs))
+        pad = chunk - (hi - lo)
+        keys = jax.random.split(jax.random.PRNGKey(0), chunk)
+        Fc, ok = fit(jnp.asarray(np.pad(x1[lo:hi],
+                                        ((0, pad), (0, 0), (0, 0)))),
+                     jnp.asarray(np.pad(x2[lo:hi],
+                                        ((0, pad), (0, 0), (0, 0)))),
+                     jnp.asarray(np.pad(mm[lo:hi], ((0, pad), (0, 0)))),
+                     keys)
+        Fc = np.asarray(Fc)[: hi - lo]
+        ok = np.asarray(ok)[: hi - lo]
+        for k, (i, j) in enumerate(pairs[lo:hi]):
+            if ok[k]:
+                F_out[i, j] = Fc[k]
+    return jnp.asarray(F_out, dtype)
+
+
 def build_context(sfmd: SfMData, stack: PLGStack,
                   config: EdgeGraphConfig = DEFAULT_CONFIG,
                   cell: float = 10.0, mesh=None) -> MatchingContext:
     dtype = jnp.float32 if config.dtype == "float32" else jnp.float64
     P_mats = jnp.asarray(sfmd.P, dtype)
-    F = all_fundamental_matrices(P_mats, jnp.asarray(sfmd.center, dtype))
+    if config.fmat_source == "lmeds":
+        F = lmeds_fundamental_table(sfmd, config, dtype)
+    else:
+        F = all_fundamental_matrices(P_mats,
+                                     jnp.asarray(sfmd.center, dtype))
     grids = build_grids(stack, sfmd.widths, sfmd.heights, cell,
                         config.grid_cell_capacity)
     ctx = MatchingContext(
