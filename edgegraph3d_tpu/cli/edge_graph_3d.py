@@ -26,12 +26,23 @@ def main(argv=None):
     ap.add_argument("output_json")
     ap.add_argument("--max-starting-views", type=int, default=None,
                     help="limit starting cams per refpoint (speed knob)")
+    ap.add_argument("--simplify-3d", action="store_true",
+                    help="simplify the saved 3D graph (tol 0.01, "
+                    "polyline_graph_3d.hpp:65)")
+    ap.add_argument("--fragment-3d", type=float, default=None,
+                    metavar="MAXLEN",
+                    help="fragment the saved 3D graph at this arc-length "
+                    "(polyline_graph_3d.cpp:99-122)")
     args = ap.parse_args(argv)
 
+    from edgegraph3d_tpu.config import DEFAULT_CONFIG
     from edgegraph3d_tpu.pipeline import edge_matching
+    cfg = DEFAULT_CONFIG.replace(
+        output_3d_simplify=args.simplify_3d,
+        output_3d_fragment_maxlen=args.fragment_3d)
     out = edge_matching(args.images_folder, args.edges_folder,
                         args.working_folder, args.sfm_data_file,
-                        args.output_json,
+                        args.output_json, config=cfg,
                         max_starting_views=args.max_starting_views,
                         debug_images=args.debug_images)
     print(f"Wrote {out.n_points} points to {args.output_json}")

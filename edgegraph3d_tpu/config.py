@@ -114,6 +114,18 @@ class EdgeGraphConfig:
     #: density-filter cell size (ref: filtering_close_plgps.cpp CELLSIZE 3 px).
     density_cell_size_px: int = 3
 
+    # ---- 3D output graph post-ops (library surface in the reference,
+    # exposed here as output options; see pipeline.py) -------------------
+    #: simplify the saved 3D graph (ref: PolyLineGraph3D::simplify,
+    #: polyline_graph_3d.cpp:355-365).
+    output_3d_simplify: bool = False
+    #: 3D linearizability tolerance (ref: polyline_graph_3d.hpp:65
+    #: MAXIMUM_LINEARIZABILITY_DISTANCE 0.01).
+    output_3d_simplify_tol: float = 0.01
+    #: if set, fragment the saved 3D graph at this arc-length
+    #: (ref: PolyLineGraph3D::fragment, polyline_graph_3d.cpp:99-122).
+    output_3d_fragment_maxlen: float | None = None
+
     # ---- padding budgets (TPU-native: fixed shapes + masks) -------------
     max_polylines_per_view: int = 2048
     max_polyline_len: int = 256

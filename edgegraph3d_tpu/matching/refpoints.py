@@ -298,6 +298,154 @@ def _seed_sweep(plg_coords, plg_length, grids, P_mats, F_table,
 
 
 # ----------------------------------------------------------------------
+# Compacted seed formation (single-device fast path)
+#
+# The dense _seed_sweep spends ~95% of its device time on epipolar
+# correspondence detection over the full [N, V, M] start grid, of which
+# only a few percent of slots hold a valid starting intersection
+# (PROFILE.md).  The fast path splits the sweep: kernel A detects
+# starting intersections and stream-compacts the valid (refpoint, view,
+# candidate) triples on device; kernel B runs correspondence detection +
+# triangulation only on the compacted list.  Seed-for-seed identical to
+# _seed_sweep (same detection, selection, and GN math; the compaction
+# preserves (n, v, m) order) — asserted by tests/test_refpoints_e2e.py.
+# ----------------------------------------------------------------------
+
+# compacted-start buffer columns: [ridx, vs, pl_id, seg, t, xy(2), dist]
+_S_COLS = 8
+
+
+@partial(jax.jit, static_argnames=("M", "cap"))
+def _start_sweep(plg_coords, grids, cell: float, obs_xy, start_mask,
+                 starting_dist: float, M: int, cap: int):
+    """Kernel A: starting intersections for a refpoint chunk, compacted
+    to [cap, 8] in (n, v, m) order.  Returns (buf, n_valid)."""
+    from edgegraph3d_tpu.ops.compaction import compact_rows
+    N, V = start_mask.shape
+
+    def start_view(v):
+        def q(pt):
+            return detection.detect_starting_intersections(
+                grids[v], plg_coords[v], pt, cell, starting_dist, M)
+        return jax.vmap(q)(obs_xy[:, v])
+    starts = jax.lax.map(start_view, jnp.arange(V))       # fields [V,N,M]
+    starts = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), starts)
+    s_valid = starts.valid & start_mask[..., None]        # [N,V,M]
+
+    f = obs_xy.dtype
+    ridx = jnp.broadcast_to(jnp.arange(N, dtype=f)[:, None, None],
+                            (N, V, M))
+    vs = jnp.broadcast_to(jnp.arange(V, dtype=f)[None, :, None],
+                          (N, V, M))
+    payload = jnp.stack([
+        ridx, vs, starts.pl_id.astype(f), starts.seg.astype(f),
+        starts.t.astype(f), starts.xy[..., 0], starts.xy[..., 1],
+        starts.dist.astype(f)], axis=-1).reshape(N * V * M, _S_COLS)
+    return compact_rows(s_valid.reshape(-1), payload, cap)
+
+
+@partial(jax.jit, static_argnames=("M", "cfg", "cap_out"))
+def _seed_from_starts(plg_coords, plg_length, grids, P_mats, F_table,
+                      cell: float, starts_buf, n_starts, obs_xy, obs_mask,
+                      M: int, cfg: EdgeGraphConfig, cap_out: int):
+    """Kernel B: epipolar correspondences + 3-view triangulation for the
+    compacted starts.  Same math and selection as _seed_sweep steps 2-5;
+    returns a packed [cap_out, 22] seed buffer + count (the layout of
+    _pack_seed_outputs)."""
+    from edgegraph3d_tpu.ops.compaction import compact_rows
+    K = starts_buf.shape[0]
+    V = obs_mask.shape[1]
+    ridx = starts_buf[:, 0].astype(jnp.int32)
+    vs = starts_buf[:, 1].astype(jnp.int32)
+    s_pl = starts_buf[:, 2].astype(jnp.int32)
+    s_seg = starts_buf[:, 3].astype(jnp.int32)
+    s_t = starts_buf[:, 4]
+    s_xy = starts_buf[:, 5:7]
+    s_dist = starts_buf[:, 7]
+    item_ok = jnp.arange(K) < n_starts
+
+    # 2. epipolar lines of each start into every other view
+    xyh = jnp.concatenate([s_xy, jnp.ones((K, 1), s_xy.dtype)], axis=-1)
+    lines = jnp.einsum("kvab,kb->kva", F_table[vs], xyh,
+                       precision=jax.lax.Precision.HIGHEST)   # [K,V,3]
+    lnorm = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)
+    lines = lines / jnp.maximum(lnorm, 1e-20)[..., None]
+
+    radius = jnp.minimum(s_dist * cfg.detection_correspondence_factor,
+                         3.0 * cfg.detection_starting_dist_px)
+    radius = jnp.maximum(radius, cfg.detection_starting_dist_px * 0.3)
+
+    # 3. correspondences: iterate target views, vmap over compacted items
+    obs_rows = obs_xy[ridx]                                  # [K,V,2]
+
+    def corr_view(vo):
+        def q(pt, line, rad):
+            return detection.detect_epipolar_correspondences(
+                grids[vo], plg_coords[vo], pt, line, cell, rad, M)
+        return jax.vmap(q)(obs_rows[:, vo], lines[:, vo], radius)
+    corr = jax.lax.map(corr_view, jnp.arange(V))             # [V,K,M]
+    corr = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), corr)  # [K,V,M]
+
+    vids = jnp.arange(V)
+    corr_ok = corr.valid & obs_mask[ridx][:, :, None] \
+        & (vids[None, :, None] != vs[:, None, None]) \
+        & item_ok[:, None, None]
+
+    # 4. select (min view id, starting, max view id)
+    view_has = jnp.any(corr_ok, axis=-1)                     # [K,V]
+    big = jnp.int32(10 ** 6)
+    v1 = jnp.argmin(jnp.where(view_has, vids, big), axis=-1)   # [K]
+    v2 = jnp.argmax(jnp.where(view_has, vids, -1), axis=-1)
+    two_views = (jnp.sum(view_has, axis=-1) >= 2) & (v1 != v2)
+
+    arK = jnp.arange(K)
+    c1 = jax.tree.map(lambda a: a[arK, v1], corr)            # [K,M]
+    c2 = jax.tree.map(lambda a: a[arK, v2], corr)
+    c1_ok = corr_ok[arK, v1]
+    c2_ok = corr_ok[arK, v2]
+
+    # 5. triangulate all candidate pairs; unique valid seed required
+    cams3 = jnp.stack([vs, v1, v2], axis=-1)                 # [K,3]
+    P3 = P_mats[cams3]                                       # [K,3,3,4]
+    pair_xy = jnp.stack([
+        jnp.broadcast_to(s_xy[:, None, None, :], (K, M, M, 2)),
+        jnp.broadcast_to(c1.xy[:, :, None, :], (K, M, M, 2)),
+        jnp.broadcast_to(c2.xy[:, None, :, :], (K, M, M, 2)),
+    ], axis=-2)                                              # [K,M,M,3,2]
+    P_pairs = jnp.broadcast_to(P3[:, None, None], (K, M, M, 3, 3, 4))
+    flat_xy = pair_xy.reshape(-1, 3, 2)
+    flat_P = P_pairs.reshape(-1, 3, 3, 4)
+    mask3 = jnp.ones(flat_xy.shape[:2], dtype=bool)
+    X0 = triangulate_dlt(flat_P, flat_xy, mask3)
+    X, mse, ok = gauss_newton_batched(
+        flat_P, flat_xy, mask3, X0, max_iters=cfg.gn_max_iters,
+        accept_mse=cfg.match_gn_max_mse, epsilon=cfg.gn_epsilon)
+    X = X.reshape(K, M, M, 3)
+    ok = ok.reshape(K, M, M) & c1_ok[:, :, None] & c2_ok[:, None, :] \
+        & two_views[:, None, None]
+
+    n_valid = jnp.sum(ok.reshape(K, -1), axis=-1)
+    unique = n_valid == 1
+    pick = jnp.argmax(ok.reshape(K, -1), axis=-1)
+    i1 = pick // M
+    i2 = pick % M
+    seed_X = X.reshape(K, -1, 3)[arK, pick]
+    seed_valid = unique & item_ok & two_views
+
+    sel1 = jax.tree.map(lambda a: a[arK, i1], c1)
+    sel2 = jax.tree.map(lambda a: a[arK, i2], c2)
+    f = s_xy.dtype
+    payload = jnp.concatenate([
+        cams3.astype(f),
+        jnp.stack([s_pl, sel1.pl_id, sel2.pl_id], -1).astype(f),
+        jnp.stack([s_seg, sel1.seg, sel2.seg], -1).astype(f),
+        jnp.stack([s_t, sel1.t, sel2.t], -1).astype(f),
+        jnp.stack([s_xy, sel1.xy, sel2.xy], -2).reshape(K, 6),
+        seed_X, ridx[:, None].astype(f)], axis=-1)           # [K,22]
+    return compact_rows(seed_valid, payload, cap_out)
+
+
+# ----------------------------------------------------------------------
 # Expansion to all views
 # ----------------------------------------------------------------------
 
@@ -400,23 +548,35 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
         ox = np.pad(obs_xy[lo:hi], ((0, pad), (0, 0), (0, 0)))
         om = np.pad(obs_mask[lo:hi], ((0, pad), (0, 0)))
         sm = np.pad(start_mask[lo:hi], ((0, pad), (0, 0)))
+        from edgegraph3d_tpu.ops.compaction import to_host
         if ctx.mesh is not None:
             from edgegraph3d_tpu.parallel import sharded
             out = sharded.sharded_seed_sweep(
                 ctx.mesh, ctx.plg_coords, ctx.plg_length, ctx.grids,
                 ctx.P_mats, ctx.F_table, ctx.cell, jnp.asarray(ox),
                 jnp.asarray(om), jnp.asarray(sm), M, cfg)
+            cap = 8 * refpoint_chunk
+            buf, n = _pack_seed_outputs(out, cap)
+            if int(n) > cap:    # rare dense chunk: repack at full width
+                buf, n = _pack_seed_outputs(
+                    out, int(np.prod(out["valid"].shape)))
         else:
-            out = _seed_sweep(ctx.plg_coords, ctx.plg_length, ctx.grids,
-                              ctx.P_mats, ctx.F_table, ctx.cell,
-                              jnp.asarray(ox), jnp.asarray(om),
-                              jnp.asarray(sm), M, cfg)
-        cap = 8 * refpoint_chunk
-        buf, n = _pack_seed_outputs(out, cap)
-        from edgegraph3d_tpu.ops.compaction import to_host
-        if int(n) > cap:    # rare dense chunk: repack at full width
-            buf, n = _pack_seed_outputs(
-                out, int(np.prod(out["valid"].shape)))
+            # compacted two-kernel fast path (see _start_sweep docstring)
+            full = refpoint_chunk * obs_mask.shape[1] * M
+            cap_s = min(4 * refpoint_chunk, full)
+            sbuf, ns = _start_sweep(
+                ctx.plg_coords, ctx.grids, ctx.cell, jnp.asarray(ox),
+                jnp.asarray(sm), cfg.detection_starting_dist_px, M, cap_s)
+            if int(ns) > cap_s:   # dense chunk: recompact at full width
+                cap_s = full
+                sbuf, ns = _start_sweep(
+                    ctx.plg_coords, ctx.grids, ctx.cell, jnp.asarray(ox),
+                    jnp.asarray(sm), cfg.detection_starting_dist_px, M,
+                    cap_s)
+            buf, n = _seed_from_starts(
+                ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+                ctx.F_table, ctx.cell, sbuf, ns, jnp.asarray(ox),
+                jnp.asarray(om), M, cfg, cap_s)
         rows, n_int = to_host(buf, n)
         if n_int == 0:
             continue

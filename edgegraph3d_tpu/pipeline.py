@@ -185,10 +185,16 @@ def run_pipeline(
         sfm_io.write_sfm_data(
             augmented, os.path.join(working_folder, "before_filtering.json"))
         # 3D polyline graph checkpoint ("outgraph.3dg" equivalent,
-        # pipelines.cpp:233)
+        # pipelines.cpp:233), with the reference's library post-ops as
+        # output options (simplify tol 0.01, polyline_graph_3d.hpp:65;
+        # fragment, polyline_graph_3d.cpp:99-122)
         from edgegraph3d_tpu.plgs.polyline_graph_3d import \
             assemble_from_edge_points
         plg3d = assemble_from_edge_points(pts, sfmd.n_cameras)
+        if config.output_3d_simplify:
+            plg3d = plg3d.simplify(config.output_3d_simplify_tol)
+        if config.output_3d_fragment_maxlen is not None:
+            plg3d = plg3d.fragment(config.output_3d_fragment_maxlen)
         plg3d.save(os.path.join(working_folder, "outgraph_3d.npz"))
 
     t0 = time.time()

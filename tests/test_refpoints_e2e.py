@@ -71,3 +71,51 @@ def test_chains_extend_beyond_refpoints(recon):
     """Following sweeps out many more points than the seed refpoints."""
     sfmd, _, pts = recon
     assert len(pts.X) > sfmd.n_points * 0.5
+
+
+def test_compacted_seed_path_matches_dense():
+    """The two-kernel compacted seed formation (_start_sweep +
+    _seed_from_starts) must produce the same seed set as the dense
+    _seed_sweep reference kernel — same detection, selection, and GN
+    math, only skipping invalid start slots."""
+    import jax.numpy as jnp
+
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                    max_polyline_len=128,
+                                    max_follow_steps=64)
+    sfmd, edge_imgs, _ = synthetic.make_scene(
+        n_cams=6, n_refpoints_per_curve=10,
+        width=320, height_px=240, focal=400.0, seed=11)
+    stack = extraction.extract_plgs(edge_imgs, cfg)
+    ctx = refpoints.build_context(sfmd, stack, cfg, cell=10.0)
+    obs_xy, obs_mask = refpoints.dense_observations(sfmd)
+    N = 64
+    ox = jnp.asarray(np.pad(obs_xy[:N], ((0, max(0, N - len(obs_xy))),
+                                         (0, 0), (0, 0))))
+    om = jnp.asarray(np.pad(obs_mask[:N],
+                            ((0, max(0, N - len(obs_xy))), (0, 0))))
+    M = cfg.max_candidates_per_view
+
+    dense = refpoints._seed_sweep(
+        ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+        ctx.F_table, ctx.cell, ox, om, om, M, cfg)
+    dbuf, dn = refpoints._pack_seed_outputs(
+        dense, int(np.prod(dense["valid"].shape)))
+    dense_rows = np.asarray(dbuf)[: int(dn)]
+
+    cap = N * om.shape[1] * M
+    sbuf, ns = refpoints._start_sweep(
+        ctx.plg_coords, ctx.grids, ctx.cell, ox, om,
+        cfg.detection_starting_dist_px, M, cap)
+    cbuf, cn = refpoints._seed_from_starts(
+        ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+        ctx.F_table, ctx.cell, sbuf, ns, ox, om, M, cfg, cap)
+    comp_rows = np.asarray(cbuf)[: int(cn)]
+
+    assert int(dn) > 0
+    assert comp_rows.shape == dense_rows.shape
+    # discrete fields exactly, float fields to tolerance
+    np.testing.assert_array_equal(comp_rows[:, 0:9], dense_rows[:, 0:9])
+    np.testing.assert_array_equal(comp_rows[:, 21], dense_rows[:, 21])
+    np.testing.assert_allclose(comp_rows[:, 9:21], dense_rows[:, 9:21],
+                               rtol=1e-4, atol=1e-4)

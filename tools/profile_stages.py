@@ -1,0 +1,213 @@
+"""Per-stage device/host/transfer breakdown of the bench workload.
+
+Answers VERDICT round-1 "nothing profiled": times each jitted device
+program with block_until_ready (device compute), each host transfer,
+and the host glue between them, on the same dtu-scale synthetic
+workload bench.py uses.  Writes PROFILE.md at the repo root.
+
+Run:  python tools/profile_stages.py  (on the TPU; add --cpu to force
+the CPU backend for an apples-to-apples probe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, reps=3, **kw):
+    """Median wall time of fn with device sync."""
+    import jax
+    ts = []
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--trace", action="store_true",
+                    help="dump a jax.profiler trace to /tmp/eg3d_trace")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bench import build_workload
+    from edgegraph3d_tpu.config import EdgeGraphConfig
+    from edgegraph3d_tpu.matching import following
+    from edgegraph3d_tpu.matching import matches as matches_mod
+    from edgegraph3d_tpu.matching import refpoints as rp
+    from edgegraph3d_tpu.pipeline import PipelineStats, run_pipeline
+    from edgegraph3d_tpu.plgs.extraction import extract_plgs
+
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=2048,
+                                    max_polyline_len=256,
+                                    max_follow_steps=128)
+    sfmd, edge_imgs, curves = build_workload(args.views, 1600, 1200, 48)
+
+    # warmup everything through the pipeline once
+    t0 = time.time()
+    run_pipeline(sfmd, edge_imgs, cfg, max_starting_views=2)
+    print(f"warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    lines = ["# Stage profile (dtu-scale synthetic, "
+             f"{args.views} views, backend={jax.default_backend()})", ""]
+
+    # ---- transfer latency floor
+    one = jnp.zeros((8,), jnp.float32) + 1
+    jax.block_until_ready(one)
+    t, _ = timed(lambda: np.asarray(one), reps=5)
+    lines.append(f"- device->host round trip (8 floats): {t * 1e3:.1f} ms")
+    big = jnp.zeros((1 << 20,), jnp.float32)
+    jax.block_until_ready(big)
+    t, _ = timed(lambda: np.asarray(big), reps=3)
+    lines.append(f"- device->host 4 MB: {t * 1e3:.1f} ms "
+                 f"({4.0 / max(t, 1e-9):.0f} MB/s)")
+
+    # ---- extraction
+    t, stack = timed(extract_plgs, edge_imgs, cfg)
+    lines.append(f"- plg_extraction (host/native): {t * 1e3:.0f} ms")
+
+    ctx = rp.build_context(sfmd, stack, cfg)
+
+    # ---- stage 3 seed sweep: device compute vs full phase
+    obs_xy, obs_mask = rp.dense_observations(sfmd)
+    N = len(obs_xy)
+    chunkN = 256
+    ox = jnp.asarray(np.pad(obs_xy[:chunkN],
+                            ((0, max(0, chunkN - N)), (0, 0), (0, 0))))
+    om = jnp.asarray(np.pad(obs_mask[:chunkN],
+                            ((0, max(0, chunkN - N)), (0, 0))))
+    cum = np.cumsum(obs_mask, axis=1)
+    sm_np = obs_mask & (cum <= 2)
+    sm = jnp.asarray(np.pad(sm_np[:chunkN],
+                            ((0, max(0, chunkN - N)), (0, 0))))
+    M = cfg.max_candidates_per_view
+    t, out = timed(rp._seed_sweep, ctx.plg_coords, ctx.plg_length,
+                   ctx.grids, ctx.P_mats, ctx.F_table, ctx.cell,
+                   ox, om, sm, M, cfg)
+    n_chunks = -(-N // chunkN)
+    lines.append(f"- _seed_sweep device compute (256-refpoint chunk): "
+                 f"{t * 1e3:.0f} ms x {n_chunks} chunks")
+    t, packed = timed(rp._pack_seed_outputs, out, 8 * chunkN)
+    lines.append(f"- _pack_seed_outputs: {t * 1e3:.1f} ms")
+    from edgegraph3d_tpu.ops.compaction import to_host
+    t, _ = timed(lambda: to_host(*rp._pack_seed_outputs(out, 8 * chunkN)))
+    lines.append(f"- pack+to_host (sync n + slice transfer): {t * 1e3:.1f} ms")
+
+    # ---- full phase A wall
+    t0 = time.time()
+    seeds_np, seed_ref = rp.compute_seeds(sfmd, ctx, max_starting_views=2)
+    tA = time.time() - t0
+    S = len(seed_ref)
+    lines.append(f"- compute_seeds total (phase A, {S} seeds): {tA:.3f} s")
+
+    # ---- follow sweep: device compute
+    seed_chunk = 2048
+    pad = seed_chunk - min(S, seed_chunk)
+    sel = slice(0, min(S, seed_chunk))
+
+    def padded(a, fill=0):
+        return jnp.asarray(np.pad(a[sel],
+                                  ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                                  constant_values=fill))
+    seeds = following.SeedTuple(
+        cams=padded(seeds_np["cams"]), pl_id=padded(seeds_np["pl_id"]),
+        seg=padded(seeds_np["seg"]), t=padded(seeds_np["t"]),
+        xy=padded(seeds_np["xy"]), X=padded(seeds_np["X"]),
+        valid=jnp.asarray(np.pad(np.ones(min(S, seed_chunk), bool),
+                                 (0, pad))))
+    t, fb = timed(following.follow_seeds_bidirectional, seeds,
+                  ctx.plg_coords, ctx.plg_length, ctx.P_mats,
+                  ctx.F_table, cfg, cfg.max_follow_steps)
+    lines.append(f"- follow_seeds_bidirectional device compute "
+                 f"(2048-seed chunk): {t * 1e3:.0f} ms")
+    fwd, bwd, _ = fb
+    t, pk = timed(following.pack_follow_outputs, fwd, bwd, seeds.valid,
+                  cfg.new_point_min_steps, 32 * seed_chunk)
+    lines.append(f"- pack_follow_outputs: {t * 1e3:.1f} ms")
+
+    # ---- full phase B wall
+    manager = matches_mod.MatchesManager(np.asarray(ctx.plg_length))
+    t0 = time.time()
+    res = rp.sweep_seeds(seeds_np, seed_ref, ctx, manager)
+    tB = time.time() - t0
+    lines.append(f"- sweep_seeds total (phase B, {len(res[0])} pts, "
+                 f"{manager.counters['continuation_rounds']} cont rounds):"
+                 f" {tB:.3f} s")
+
+    # ---- expansion
+    from edgegraph3d_tpu.matching import expansion
+    X, obs3, cams3, refs, seed_ids, orders = res
+    gather, vld = expansion.group_chains(seed_ids, orders, max_t=64)
+    C = len(gather)
+    gi = np.pad(gather[:256], ((0, max(0, 256 - C)), (0, 0)))
+    vl = np.pad(vld[:256], ((0, max(0, 256 - C)), (0, 0)))
+    X32 = np.asarray(X, np.float32)
+    t, _ = timed(expansion.expand_chains_sweep, ctx.plg_coords, ctx.grids,
+                 ctx.P_mats, ctx.cell, jnp.asarray(X32[gi]),
+                 jnp.asarray(np.asarray(obs3, np.float32)[gi]),
+                 jnp.asarray(cams3[gi[:, 0]].astype(np.int32)),
+                 jnp.asarray(vl), cfg)
+    nC = -(-C // 256)
+    lines.append(f"- expand_chains_sweep device compute (256-chain chunk): "
+                 f"{t * 1e3:.0f} ms x {nC} chunks")
+    t0 = time.time()
+    pts = rp.expand_and_assemble(ctx, *res)
+    lines.append(f"- expand_and_assemble total (phase C): "
+                 f"{time.time() - t0:.3f} s")
+
+    # ---- end-to-end with stats, optional trace
+    stats = PipelineStats()
+    if args.trace:
+        from jax import profiler
+        os.makedirs("/tmp/eg3d_trace", exist_ok=True)
+        with profiler.trace("/tmp/eg3d_trace"):
+            t0 = time.time()
+            run_pipeline(sfmd, edge_imgs, cfg, max_starting_views=2,
+                         stats=stats)
+            wall = time.time() - t0
+        lines.append(f"- [trace written to /tmp/eg3d_trace]")
+    else:
+        t0 = time.time()
+        run_pipeline(sfmd, edge_imgs, cfg, max_starting_views=2,
+                     stats=stats)
+        wall = time.time() - t0
+    lines.append("")
+    lines.append(f"## Full pipeline: {wall:.2f} s "
+                 f"({args.views / wall:.2f} views/s)")
+    for k, v in stats.timings.items():
+        c = f" ({stats.counts[k]})" if k in stats.counts else ""
+        lines.append(f"- {k}: {v:.2f} s{c}")
+
+    text = "\n".join(lines) + "\n"
+    print(text)
+    if not args.cpu:
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "PROFILE.md"), "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()
