@@ -233,6 +233,105 @@ def expand_chains_sweep(plg_coords, grids, P_mats, cell: float,
     return X, out_xy, out_ok, mse
 
 
+@partial(jax.jit, static_argnames=("cfg", "C", "T"))
+def expand_chains_compact(plg_coords, grids, P_mats, cell: float,
+                          X, obs3, cams3, chain_idx, t_idx, item_ok,
+                          chain_valid, cfg: EdgeGraphConfig,
+                          C: int, T: int):
+    """Compacted expand_chains_sweep: identical semantics, but the
+    detection + GN work runs on a flat [K] list of valid chain points
+    instead of the padded [C, T] grid (typical fill is ~15-20%, so this
+    is a ~5x device-time cut; the continuity run test still scatters to
+    the [C, T] layout, which is cheap elementwise work).
+
+    X [K,3], obs3 [K,3,2], cams3 [C,3], chain_idx/t_idx [K] (the chain
+    slot each compacted point occupies), item_ok [K] (padding rows
+    False), chain_valid [C,T] (must equal scatter(item_ok)).
+
+    Returns (X' [K,3], out_xy [K,V,2], out_ok [K,V], mse [K]).
+    """
+    V = P_mats.shape[0]
+    K = X.shape[0]
+    dtype = X.dtype
+    tol = float(np.sqrt(cfg.expand_max_projection_distsq))
+    Omax = min(V, max(cfg.max_obs_per_point, 4))
+    cam_rows = cams3[chain_idx]                            # [K,3]
+
+    P3 = P_mats[cam_rows]                                  # [K,3,3,4]
+    P_obs = jnp.zeros((K, Omax, 3, 4), dtype).at[:, :3].set(P3)
+    obs_xy_buf = jnp.zeros((K, Omax, 2), dtype).at[:, :3].set(obs3)
+    obs_mask = jnp.zeros((K, Omax), bool).at[:, :3].set(
+        item_ok[:, None])
+
+    out_xy = jnp.zeros((K, V, 2), dtype)
+    out_ok = jnp.zeros((K, V), bool)
+    r = jnp.arange(K)
+    for k in range(3):
+        out_xy = out_xy.at[r, cam_rows[:, k]].set(obs3[:, k])
+        out_ok = out_ok.at[r, cam_rows[:, k]].set(item_ok)
+
+    n_chain = jnp.sum(chain_valid, axis=1)                 # [C]
+
+    def per_view(carry, v):
+        X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, _ = carry
+        proj, depth = project_depth(P_mats[v][None, None], X[:, None, :])
+        proj = proj[:, 0]
+        depth = depth[:, 0]
+
+        def q(pt):
+            return detection.detect_starting_intersections(
+                grids[v], plg_coords[v], pt, cell, tol, 2)
+        cand = jax.vmap(q)(proj)
+        unique = ~cand.valid[:, 1]
+        c_xy = cand.xy[:, 0]
+        is_tuple = jnp.any(cam_rows == v, axis=1)          # [K]
+        c_ok = cand.valid[:, 0] & unique & (depth > 0) \
+            & ~is_tuple & item_ok
+
+        # continuity run test in the [C,T] layout
+        pos = cand.seg[:, 0].astype(dtype) + cand.t[:, 0]
+        pl_g = jnp.full((C, T), -2, jnp.int32).at[chain_idx, t_idx].set(
+            jnp.where(item_ok, cand.pl_id[:, 0], -2), mode="drop")
+        pos_g = jnp.zeros((C, T), dtype).at[chain_idx, t_idx].set(
+            pos, mode="drop")
+        ok_g = jnp.zeros((C, T), bool).at[chain_idx, t_idx].set(
+            c_ok, mode="drop")
+        run_len, touches = _monotone_runs(pl_g, pos_g, ok_g, chain_valid)
+        min_run = jnp.where(touches, 2, 3)
+        cont_g = (run_len >= min_run) | (n_chain[:, None] <= 2)
+        c_ok = c_ok & cont_g[chain_idx, t_idx]
+
+        # GN re-validation (identical to expand_chains_sweep)
+        free = ~obs_mask
+        slot = jnp.argmax(free, axis=-1)
+        put = c_ok & jnp.any(free, axis=-1)
+        P_try = P_obs.at[r, slot].set(
+            jnp.where(put[:, None, None], P_mats[v], P_obs[r, slot]))
+        xy_try = obs_xy_buf.at[r, slot].set(
+            jnp.where(put[:, None], c_xy, obs_xy_buf[r, slot]))
+        m_try = obs_mask.at[r, slot].set(obs_mask[r, slot] | put)
+        Xr, mse, ok = gauss_newton_batched(
+            P_try, xy_try, m_try, X,
+            max_iters=cfg.follow_gn_iters, epsilon=cfg.gn_epsilon,
+            accept_mse=cfg.match_gn_max_mse)
+        accept = put & ok
+
+        X = jnp.where(accept[:, None], Xr, X)
+        P_obs = jnp.where(accept[:, None, None, None], P_try, P_obs)
+        obs_xy_buf = jnp.where(accept[:, None, None], xy_try, obs_xy_buf)
+        obs_mask = jnp.where(accept[:, None], m_try, obs_mask)
+        out_xy = out_xy.at[:, v].set(
+            jnp.where(accept[:, None], c_xy, out_xy[:, v]))
+        out_ok = out_ok.at[:, v].set(out_ok[:, v] | accept)
+        return (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, mse), None
+
+    carry0 = (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok,
+              jnp.zeros((K,), dtype))
+    (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, mse), _ = \
+        jax.lax.scan(per_view, carry0, jnp.arange(V))
+    return X, out_xy, out_ok, mse
+
+
 def group_chains(seed_ids: np.ndarray, orders: np.ndarray,
                  max_t: int = 64):
     """Group flat chain rows into padded [C, T<=max_t] index tensors.

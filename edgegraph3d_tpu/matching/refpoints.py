@@ -837,28 +837,50 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
         pad = chunk - (hi - lo)
         gi = np.pad(gather[lo:hi], ((0, pad), (0, 0)))
         vl = np.pad(vld[lo:hi], ((0, pad), (0, 0)))
-        Xc = jnp.asarray(X32[gi])
-        o3 = jnp.asarray(obs3_32[gi])
         cm = jnp.asarray(cams3[gi[:, 0]].astype(np.int32))
-        cv = jnp.asarray(vl)
         if ctx.mesh is not None:
             from edgegraph3d_tpu.parallel import sharded
+            Xc = jnp.asarray(X32[gi])
+            o3 = jnp.asarray(obs3_32[gi])
+            cv = jnp.asarray(vl)
             Xr, oxy, ook, _ = sharded.sharded_expand_chains(
                 ctx.mesh, ctx.plg_coords, ctx.grids, ctx.P_mats,
                 ctx.cell, Xc, o3, cm, cv, cfg)
+            CT = Xr.shape[0] * Xr.shape[1]
+            packed = np.asarray(jnp.concatenate(
+                [Xr.reshape(CT, 3), oxy.reshape(CT, V * 2),
+                 ook.astype(Xr.dtype).reshape(CT, V)],
+                axis=1)).reshape(Xr.shape[0], chain_t, 3 + 3 * V)
+            rows = gi[vl]
+            sel = packed[vl]
         else:
-            Xr, oxy, ook, _ = expansion.expand_chains_sweep(
+            # compacted fast path: detection + GN only on valid chain
+            # points (see expansion.expand_chains_compact)
+            kidx = np.flatnonzero(vl.reshape(-1))
+            rows = gi.reshape(-1)[kidx]
+            n_k = len(kidx)
+            K = chunk * chain_t // 4
+            if n_k > K:
+                K = chunk * chain_t
+            pad_k = K - n_k
+            # padding rows scatter out of bounds -> dropped by the
+            # kernel's mode="drop" scatters
+            ci = np.pad((kidx // chain_t).astype(np.int32), (0, pad_k),
+                        constant_values=chunk)
+            ti = np.pad((kidx % chain_t).astype(np.int32), (0, pad_k),
+                        constant_values=chain_t)
+            Xr, oxy, ook, _ = expansion.expand_chains_compact(
                 ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.cell,
-                Xc, o3, cm, cv, cfg)
-        # one packed transfer per chunk (X' + xy + mask): transfer count
-        # is what the tunnel charges for (see ops/compaction.py)
-        CT = Xr.shape[0] * Xr.shape[1]
-        packed = np.asarray(jnp.concatenate(
-            [Xr.reshape(CT, 3), oxy.reshape(CT, V * 2),
-             ook.astype(Xr.dtype).reshape(CT, V)],
-            axis=1)).reshape(Xr.shape[0], chain_t, 3 + 3 * V)
-        rows = gi[vl]
-        sel = packed[vl]
+                jnp.asarray(np.pad(X32[rows], ((0, pad_k), (0, 0)))),
+                jnp.asarray(np.pad(obs3_32[rows],
+                                   ((0, pad_k), (0, 0), (0, 0)))),
+                cm, jnp.asarray(ci), jnp.asarray(ti),
+                jnp.asarray(np.arange(K) < n_k), jnp.asarray(vl), cfg,
+                chunk, chain_t)
+            packed = np.asarray(jnp.concatenate(
+                [Xr, oxy.reshape(K, V * 2),
+                 ook.astype(Xr.dtype).reshape(K, V)], axis=1))
+            sel = packed[:n_k]
         X_out[rows] = sel[:, :3]
         obs_xy[rows] = sel[:, 3:3 + 2 * V].reshape(-1, V, 2)
         obs_mask[rows] = sel[:, 3 + 2 * V:] > 0.5

@@ -119,3 +119,64 @@ def test_compacted_seed_path_matches_dense():
     np.testing.assert_array_equal(comp_rows[:, 21], dense_rows[:, 21])
     np.testing.assert_allclose(comp_rows[:, 9:21], dense_rows[:, 9:21],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_compacted_expansion_matches_dense():
+    """expand_chains_compact must equal expand_chains_sweep on the same
+    chains (same detection, continuity, and GN math; only padding slots
+    are skipped)."""
+    import jax.numpy as jnp
+
+    from edgegraph3d_tpu.matching import expansion, matches as mm
+
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                    max_polyline_len=128,
+                                    max_follow_steps=64)
+    sfmd, edge_imgs, _ = synthetic.make_scene(
+        n_cams=6, n_refpoints_per_curve=10,
+        width=320, height_px=240, focal=400.0, seed=5)
+    stack = extraction.extract_plgs(edge_imgs, cfg)
+    ctx = refpoints.build_context(sfmd, stack, cfg, cell=10.0)
+    seeds_np, seed_ref = refpoints.compute_seeds(sfmd, ctx, 64, 2)
+    manager = mm.MatchesManager(np.asarray(ctx.plg_length))
+    X, obs3, cams3, refs, seed_ids, orders = refpoints.sweep_seeds(
+        seeds_np, seed_ref, ctx, manager, 512)
+
+    T = 32
+    gather, vld = expansion.group_chains(seed_ids, orders, max_t=T)
+    C = 32
+    gi = np.pad(gather[:C], ((0, max(0, C - len(gather))), (0, 0)))
+    vl = np.pad(vld[:C], ((0, max(0, C - len(vld))), (0, 0)))
+    X32 = np.asarray(X, np.float32)
+    o32 = np.asarray(obs3, np.float32)
+    cm = jnp.asarray(cams3[gi[:, 0]].astype(np.int32))
+
+    Xd, xyd, okd, _ = expansion.expand_chains_sweep(
+        ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.cell,
+        jnp.asarray(X32[gi]), jnp.asarray(o32[gi]), cm,
+        jnp.asarray(vl), cfg)
+
+    kidx = np.flatnonzero(vl.reshape(-1))
+    rows = gi.reshape(-1)[kidx]
+    n_k = len(kidx)
+    K = C * T
+    pad_k = K - n_k
+    Xc, xyc, okc, _ = expansion.expand_chains_compact(
+        ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.cell,
+        jnp.asarray(np.pad(X32[rows], ((0, pad_k), (0, 0)))),
+        jnp.asarray(np.pad(o32[rows], ((0, pad_k), (0, 0), (0, 0)))),
+        cm, jnp.asarray(np.pad((kidx // T).astype(np.int32), (0, pad_k))),
+        jnp.asarray(np.pad((kidx % T).astype(np.int32), (0, pad_k))),
+        jnp.asarray(np.arange(K) < n_k), jnp.asarray(vl), cfg, C, T)
+
+    ci = kidx // T
+    ti = kidx % T
+    assert n_k > 0
+    np.testing.assert_array_equal(np.asarray(okc)[:n_k],
+                                  np.asarray(okd)[ci, ti])
+    np.testing.assert_allclose(np.asarray(Xc)[:n_k],
+                               np.asarray(Xd)[ci, ti], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xyc)[:n_k],
+                               np.asarray(xyd)[ci, ti], rtol=1e-4,
+                               atol=1e-3)
