@@ -54,13 +54,17 @@ def build_workload(n_views: int, width: int, height: int,
 def quality_metrics(out_sfmd, in_sfmd, curves):
     """3D accuracy + completeness of the reconstructed edge-points
     against the ground-truth synthetic curves: median distance of
-    edge-points to the nearest curve sample, and fraction of curve
-    samples with an edge-point within 2x the median sample spacing."""
+    edge-points to the nearest curve sample, and `coverage` = fraction
+    of curve samples with an edge-point within 2x the median sample
+    spacing (`coverage_4x` is the looser 4x variant reported through
+    round 2 under the name `coverage`; kept for cross-round
+    comparability)."""
     import numpy as np
     pts = out_sfmd.points[in_sfmd.n_points:]
     gt = np.concatenate(curves)
     if len(pts) == 0:
-        return dict(edge_points=0, med_dist3d=float("inf"), coverage=0.0)
+        return dict(edge_points=0, med_dist3d=float("inf"),
+                    coverage=0.0, coverage_4x=0.0)
     # chunked nearest-neighbour (no scipy dependency)
     d_pt = np.full(len(pts), np.inf)
     d_gt = np.full(len(gt), np.inf)
@@ -71,7 +75,8 @@ def quality_metrics(out_sfmd, in_sfmd, curves):
     spacing = np.median(np.linalg.norm(np.diff(gt[:200], axis=0), axis=1))
     return dict(edge_points=int(len(pts)),
                 med_dist3d=float(np.median(d_pt)),
-                coverage=float((d_gt < 4 * spacing).mean()))
+                coverage=float((d_gt < 2 * spacing).mean()),
+                coverage_4x=float((d_gt < 4 * spacing).mean()))
 
 
 def run(n_views: int, width: int, height: int, n_ref: int,
@@ -98,9 +103,10 @@ def run(n_views: int, width: int, height: int, n_ref: int,
         mesh = mesh_mod.make_mesh(mesh_devices,
                                   devices=jax.devices()[:mesh_devices])
 
-    cfg = EdgeGraphConfig().replace(max_polylines_per_view=2048,
-                                    max_polyline_len=256,
-                                    max_follow_steps=128)
+    # padding budgets at the audited defaults (tools/capacity_audit.py:
+    # zero drops on real dtu006), so the headline number reflects the
+    # real-data configuration
+    cfg = EdgeGraphConfig().replace(max_follow_steps=128)
     sfmd, edge_imgs, curves = build_workload(n_views, width, height, n_ref)
 
     # warmup: the FULL workload once, so the measured pass is pure
@@ -170,7 +176,10 @@ def main():
     ap.add_argument("--width", type=int, default=1600)
     ap.add_argument("--height", type=int, default=1200)
     ap.add_argument("--refpoints-per-edge", type=int, default=48)
-    ap.add_argument("--max-starting-views", type=int, default=2)
+    ap.add_argument("--max-starting-views", type=int, default=2,
+                    help="cap on starting views per refpoint; <= 0 "
+                    "means uncapped (the reference's all-viewing-cams "
+                    "loop, plg_matching_from_refpoints.cpp:64-81)")
     ap.add_argument("--probe-cpu", action="store_true",
                     help="force CPU backend and print raw views/s")
     ap.add_argument("--mesh-devices", type=int, default=0,
@@ -195,8 +204,9 @@ def main():
     if args.probe_cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    msv = args.max_starting_views if args.max_starting_views > 0 else None
     wall, qual = run(args.views, args.width, args.height,
-                     args.refpoints_per_edge, args.max_starting_views,
+                     args.refpoints_per_edge, msv,
                      mesh_devices=args.mesh_devices)
     views_per_s = args.views / wall
 
@@ -215,7 +225,9 @@ def main():
         "unit": "views/s", "vs_baseline": vs,
         "edge_points": qual["edge_points"],
         "med_dist3d": round(qual["med_dist3d"], 5),
-        "coverage": round(qual["coverage"], 4)}))
+        "coverage": round(qual["coverage"], 4),
+        "coverage_4x": round(qual["coverage_4x"], 4),
+        "max_starting_views": msv if msv is not None else "all"}))
 
 
 if __name__ == "__main__":

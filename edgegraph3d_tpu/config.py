@@ -127,8 +127,14 @@ class EdgeGraphConfig:
     output_3d_fragment_maxlen: float | None = None
 
     # ---- padding budgets (TPU-native: fixed shapes + masks) -------------
-    max_polylines_per_view: int = 2048
-    max_polyline_len: int = 256
+    #: sized by tools/capacity_audit.py on the full real dtu006 scene
+    #: (49 views @1600x1200): worst view traces 5410 chains, so 8192
+    #: gives zero drops with 1.5x headroom (2048 dropped >50%); chain
+    #: length is p99=12 / max=52 coords after simplification, so 64
+    #: covers every real chain without splitting at 1/4 the memory of
+    #: the old 256.
+    max_polylines_per_view: int = 8192
+    max_polyline_len: int = 64
     max_obs_per_point: int = 64
     #: grid candidate list length per cell
     grid_cell_capacity: int = 8

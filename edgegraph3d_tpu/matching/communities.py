@@ -37,6 +37,13 @@ def label_propagation(edges: jnp.ndarray, weights: jnp.ndarray,
     (tie-break toward the smaller label).  O(E log E) per round — no
     dense [n, n] scoreboard.
     """
+    # the (src, label) sort key below is src*(n_nodes+1)+label; int32 is
+    # exact for all realistic graph sizes (polyline-node counts are in
+    # the thousands) — int64 would silently truncate to int32 on TPU
+    # anyway (x64 disabled) and warn every run
+    if (n_nodes + 1) * (n_nodes + 1) >= 2 ** 31:
+        raise ValueError(f"label_propagation: n_nodes={n_nodes} too "
+                         "large for the int32 (src, label) sort key")
     valid = (edges[:, 0] >= 0) & (edges[:, 1] >= 0)
     w = jnp.where(valid, weights, 0.0)
     src = jnp.concatenate([edges[:, 0], edges[:, 1]])
@@ -49,7 +56,7 @@ def label_propagation(edges: jnp.ndarray, weights: jnp.ndarray,
 
     def step(labels, _):
         lab_v = labels[dst]
-        key = src.astype(jnp.int64) * (n_nodes + 1) + lab_v
+        key = src.astype(jnp.int32) * jnp.int32(n_nodes + 1) + lab_v
         order = jnp.argsort(key)
         ks = key[order]
         ws = ww[order]

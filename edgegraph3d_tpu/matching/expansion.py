@@ -81,16 +81,25 @@ def _monotone_runs(pl_id: jnp.ndarray, pos: jnp.ndarray,
     # link[t]: candidate t continues the run from t-1
     same_pl = (pl_id[:, 1:] == pl_id[:, :-1]) & ok[:, 1:] & ok[:, :-1]
     dpos = pos[:, 1:] - pos[:, :-1]
+    nonzero = jnp.abs(dpos) > 0
+    base = same_pl & nonzero                               # [C,T-1]
     # local monotonicity: consecutive steps must advance the same way
     # (the reference's walk direction is fixed per run); the first step
-    # of a run sets the sign, later steps must agree with the previous
+    # of a run sets the sign, later steps must agree with the previous.
+    # The sign constraint applies ONLY when the previous step is itself
+    # a link candidate (base) — base requires ok on both its ends, so
+    # the result is a pure function of values at ok slots.  Reading
+    # `sign` through a non-ok slot would make run membership depend on
+    # padding garbage and diverge between the dense and compacted
+    # kernels (the round-2 parity failure).
     sign = jnp.sign(dpos)
-    sign_ok = jnp.concatenate(
-        [jnp.ones((C, 1), bool),
-         (sign[:, 1:] == sign[:, :-1]) | (sign[:, 1:] == 0)], axis=1)
-    nonzero = jnp.abs(dpos) > 0
-    link = jnp.concatenate([jnp.zeros((C, 1), bool),
-                            same_pl & sign_ok & nonzero], axis=1)  # [C,T]
+    prev_base = jnp.concatenate(
+        [jnp.zeros((C, 1), bool), base[:, :-1]], axis=1)   # [C,T-1]
+    sign_agree = jnp.concatenate(
+        [jnp.ones((C, 1), bool), sign[:, 1:] == sign[:, :-1]], axis=1)
+    link = jnp.concatenate(
+        [jnp.zeros((C, 1), bool),
+         base & (~prev_base | sign_agree)], axis=1)        # [C,T]
 
     # run start per element: last index with ~link (cummax over t)
     start = jax.lax.associative_scan(
@@ -288,13 +297,18 @@ def expand_chains_compact(plg_coords, grids, P_mats, cell: float,
         c_ok = cand.valid[:, 0] & unique & (depth > 0) \
             & ~is_tuple & item_ok
 
-        # continuity run test in the [C,T] layout
+        # continuity run test in the [C,T] layout.  Padding rows are
+        # routed to an OUT-OF-BOUNDS chain index so mode="drop" really
+        # drops them — zero-padded chain_idx/t_idx would alias slot
+        # (0, 0) and clobber a real chain point's scattered values
+        # (the round-2 dense-vs-compact parity failure).
         pos = cand.seg[:, 0].astype(dtype) + cand.t[:, 0]
-        pl_g = jnp.full((C, T), -2, jnp.int32).at[chain_idx, t_idx].set(
-            jnp.where(item_ok, cand.pl_id[:, 0], -2), mode="drop")
-        pos_g = jnp.zeros((C, T), dtype).at[chain_idx, t_idx].set(
+        ci_s = jnp.where(item_ok, chain_idx, C)
+        pl_g = jnp.full((C, T), -2, jnp.int32).at[ci_s, t_idx].set(
+            cand.pl_id[:, 0], mode="drop")
+        pos_g = jnp.zeros((C, T), dtype).at[ci_s, t_idx].set(
             pos, mode="drop")
-        ok_g = jnp.zeros((C, T), bool).at[chain_idx, t_idx].set(
+        ok_g = jnp.zeros((C, T), bool).at[ci_s, t_idx].set(
             c_ok, mode="drop")
         run_len, touches = _monotone_runs(pl_g, pos_g, ok_g, chain_valid)
         min_run = jnp.where(touches, 2, 3)

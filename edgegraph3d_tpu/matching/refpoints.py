@@ -42,8 +42,7 @@ from edgegraph3d_tpu.core.sfm import SfMData
 from edgegraph3d_tpu.matching import detection, following
 from edgegraph3d_tpu.matching import matches as matches_mod
 from edgegraph3d_tpu.matching.grid import build_grids
-from edgegraph3d_tpu.ops.geometry import all_fundamental_matrices, \
-    project_depth
+from edgegraph3d_tpu.ops.geometry import all_fundamental_matrices
 from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched, \
     triangulate_dlt
 from edgegraph3d_tpu.plgs.polyline_graph import PLGStack
@@ -443,31 +442,6 @@ def _seed_from_starts(plg_coords, plg_length, grids, P_mats, F_table,
         jnp.stack([s_xy, sel1.xy, sel2.xy], -2).reshape(K, 6),
         seed_X, ridx[:, None].astype(f)], axis=-1)           # [K,22]
     return compact_rows(seed_valid, payload, cap_out)
-
-
-# ----------------------------------------------------------------------
-# Expansion to all views
-# ----------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("cfg",))
-def _expand_sweep(plg_coords, grids, P_mats, cell: float, X,
-                  cfg: EdgeGraphConfig):
-    """Project points into every view and attach observations where the
-    projection lands within sqrt(expand_max_projection_distsq) of a
-    polyline.  X [Np,3] -> obs_xy [Np,V,2], obs_ok [Np,V]."""
-    V = P_mats.shape[0]
-    proj, depth = project_depth(P_mats[None, :], X[:, None, :])  # [Np,V,2]
-
-    def view_q(v):
-        def q(pt):
-            return detection.detect_starting_intersections(
-                grids[v], plg_coords[v], pt, cell,
-                float(np.sqrt(cfg.expand_max_projection_distsq)), 1)
-        return jax.vmap(q)(proj[:, v])
-    cand = jax.lax.map(view_q, jnp.arange(V))      # fields [V,Np,1]
-    obs_xy = jnp.moveaxis(cand.xy[..., 0, :], 0, 1)       # [Np,V,2]
-    obs_ok = jnp.moveaxis(cand.valid[..., 0], 0, 1) & (depth > 0)
-    return obs_xy, obs_ok
 
 
 # ----------------------------------------------------------------------

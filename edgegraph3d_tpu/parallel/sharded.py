@@ -177,23 +177,6 @@ def sharded_follow_fixed(mesh, seeds, plg_coords, plg_length, P_mats,
               F_table)
 
 
-def sharded_expand(mesh, plg_coords, grids, P_mats, cell, X, cfg):
-    """All-view expansion with the 3D-point axis sharded."""
-    from edgegraph3d_tpu.matching import refpoints as refpoints_mod
-
-    sh = P(SHARD_AXIS)
-    rep = P()
-
-    def local(X, plg_coords, grids, P_mats):
-        return refpoints_mod._expand_sweep(plg_coords, grids, P_mats,
-                                           cell, X, cfg)
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, rep, rep, rep),
-                   out_specs=sh, check_vma=False)
-    return fn(X, plg_coords, grids, P_mats)
-
-
 def sharded_expand_chains(mesh, plg_coords, grids, P_mats, cell,
                           X, obs3, cams3, chain_valid, cfg):
     """Chain-aware all-view expansion with the CHAIN axis sharded

@@ -40,6 +40,9 @@ class PipelineStats:
     pipelines.cpp:178-199)."""
     timings: dict = field(default_factory=dict)
     counts: dict = field(default_factory=dict)
+    #: suppression/truncation/overflow observability (MatchesManager
+    #: counters + extraction overflow), merged in by the drivers
+    counters: dict = field(default_factory=dict)
 
     def log(self, name: str, t0: float, count: int | None = None):
         self.timings[name] = time.time() - t0
@@ -51,6 +54,9 @@ class PipelineStats:
         for k, v in self.timings.items():
             c = f"  ({self.counts[k]})" if k in self.counts else ""
             lines.append(f"  {k}: {v:.2f}s{c}")
+        if self.counters:
+            lines.append("  counters: " + ", ".join(
+                f"{k}={v}" for k, v in self.counters.items()))
         return "\n".join(lines)
 
 
@@ -119,6 +125,7 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
                 n = len(res[0])
         stats.log("stage3_refpoints", t0, n)
 
+    stats.counters.update(manager.counters)
     if not pieces:
         return refpoints_mod._empty_points(V)
     merged = [np.concatenate([p[i] for p in pieces]) for i in range(6)]
@@ -160,6 +167,12 @@ def run_pipeline(
             from edgegraph3d_tpu.plgs.plg_io import save_plg_stack
             save_plg_stack(stack, plg_ckpt)
     stats.log("plg_extraction", t0, int((stack.length >= 2).sum()))
+    stats.counters["polylines_dropped_overflow"] = stack.overflow_dropped
+    if stack.overflow_dropped:
+        import sys
+        print(f"WARNING: {stack.overflow_dropped} polylines dropped to "
+              f"the max_polylines_per_view={config.max_polylines_per_view}"
+              " budget — raise it to keep full recall", file=sys.stderr)
 
     t0 = time.time()
     ctx = refpoints_mod.build_context(sfmd, stack, config, mesh=mesh)

@@ -679,7 +679,8 @@ def extract_plg(edge_image: np.ndarray,
         chains = extract_chains_native(mask, config)
     if chains is None:
         mask = remove_useless_corners(mask)
-        node_xy, edges = build_pixel_edges(mask)
+        node_xy, edges = build_pixel_edges(
+            mask, loop_check_dist=config.loop_check_dist)
         chains = trace_chains(node_xy, edges)
         if optimize:
             chains = optimize_chains(chains, config)

@@ -33,6 +33,9 @@ class PLG2D:
     start_node: np.ndarray    # [P] int32, -1 for invalid
     end_node: np.ndarray      # [P] int32, -1 for invalid
     n_nodes: int = 0
+    #: polylines dropped because the padding budget overflowed ("no
+    #: silent caps": surfaced through PipelineStats.counters)
+    overflow_dropped: int = 0
 
     @property
     def n_polylines(self) -> int:
@@ -178,8 +181,10 @@ def from_polyline_list(polylines: list[np.ndarray],
         polylines = split
     polylines = [np.asarray(p, dtype=np.float32) for p in polylines
                  if len(p) >= 2]
+    overflow_dropped = 0
     if max_polylines is not None and len(polylines) > max_polylines:
-        # keep the longest chains if over budget
+        # keep the longest chains if over budget — counted, never silent
+        overflow_dropped = len(polylines) - max_polylines
         order = np.argsort([-len(p) for p in polylines], kind="stable")
         polylines = [polylines[i] for i in order[:max_polylines]]
 
@@ -206,7 +211,8 @@ def from_polyline_list(polylines: list[np.ndarray],
         end_node[i] = node_id(pl[-1])
 
     return PLG2D(coords=coords, length=length, start_node=start_node,
-                 end_node=end_node, n_nodes=len(node_map))
+                 end_node=end_node, n_nodes=len(node_map),
+                 overflow_dropped=overflow_dropped)
 
 
 @dataclass
@@ -217,6 +223,8 @@ class PLGStack:
     length: np.ndarray   # [V, P] int32
     start_node: np.ndarray  # [V, P] int32
     end_node: np.ndarray    # [V, P] int32
+    #: total polylines dropped to padding-budget overflow across views
+    overflow_dropped: int = 0
 
     @property
     def n_views(self) -> int:
@@ -242,9 +250,12 @@ def stack_plgs(plgs: list[PLG2D], max_polylines: int,
     length = np.zeros((V, max_polylines), dtype=np.int32)
     sn = np.full((V, max_polylines), -1, dtype=np.int32)
     en = np.full((V, max_polylines), -1, dtype=np.int32)
+    dropped = 0
     for v, plg in enumerate(plgs):
+        dropped += plg.overflow_dropped
         g = plg.compact()
         if g.coords.shape[0] > max_polylines:
+            dropped += g.coords.shape[0] - max_polylines
             order = np.argsort(-g.length, kind="stable")[:max_polylines]
             g = PLG2D(coords=g.coords[order], length=g.length[order],
                       start_node=g.start_node[order],
@@ -255,4 +266,5 @@ def stack_plgs(plgs: list[PLG2D], max_polylines: int,
         length[v, :P] = np.minimum(g.length, L)
         sn[v, :P] = g.start_node
         en[v, :P] = g.end_node
-    return PLGStack(coords=coords, length=length, start_node=sn, end_node=en)
+    return PLGStack(coords=coords, length=length, start_node=sn,
+                    end_node=en, overflow_dropped=dropped)
