@@ -114,10 +114,14 @@ def run(n_views: int, width: int, height: int, n_ref: int,
     # bucket is exercised by identical shapes (a subsampled warmup
     # leaves shape-dependent programs cold in the measured pass)
     t0 = time.time()
+    warm_stats = PipelineStats()
     run_pipeline(sfmd, edge_imgs, cfg,
-                 max_starting_views=max_starting_views, mesh=mesh)
+                 max_starting_views=max_starting_views, mesh=mesh,
+                 stats=warm_stats)
     if verbose:
-        print(f"warmup: {time.time() - t0:.2f}s", file=sys.stderr)
+        print(f"warmup: {time.time() - t0:.2f}s; stage breakdown "
+              f"(compile-inclusive):", file=sys.stderr)
+        print(warm_stats.report(), file=sys.stderr)
 
     stats = PipelineStats()
     t0 = time.time()

@@ -87,6 +87,25 @@ class EdgeGraphConfig:
     #: expand-all-views projection tolerance
     #: (ref: triangulation.hpp:46 MAX_3DPOINT_PROJECTIONDISTSQ_EXPANDALLVIEWS 16 px^2).
     expand_max_projection_distsq: float = 16.0
+    #: expansion correspondence position: "epipolar" = intersect the
+    #: driving-view epipolar line with the anchored polyline, falling
+    #: back to the closest point (the reference's walk,
+    #: triangulation.cpp:742-919 + projection/plmap fallback);
+    #: "closest" = closest point only.  Default "closest": the A/B
+    #: (tests/test_expansion.py::test_expansion_mode_ab) measures
+    #: identical acceptance but ~2x lower reprojection error — the
+    #: epipolar intersection amplifies the driving view's ~1 px
+    #: polyline discretization by 1/sin(crossing angle), a noise the
+    #: reference's output carries and this formulation avoids.
+    expand_correspondence_mode: str = "closest"
+    #: chain-extension rounds after expansion: chains whose EXPANDED
+    #: observation set covers a chain end are re-followed outward from
+    #: that end with a tuple drawn from the expanded view set — the
+    #: reference's follow_direction tail that grows the chain with new
+    #: 3D points once a new view matches to the chain end
+    #: (ref: add_view_to_3dpoint_and_sides_plgp_matches_vector,
+    #: plg_matching.cpp:1393-1412).  0 disables.
+    max_extension_rounds: int = 1
 
     # ---- stage drivers --------------------------------------------------
     #: interval sampling distance along polylines in stages 1-2

@@ -44,11 +44,27 @@ re-validates every added observation through
          view is tried): one batched add_observation_to_3d_points per
          view over all [C*T] chain points
 
-  Not implemented (documented deviation): the reference's
-  follow_direction tail that EXTENDS the chain with brand-new 3D points
-  when an expansion walk matches the full remaining chain
-  (plg_matching.cpp:1393-1412) — chain extension here is the follow
-  stage's job (chain continuation rounds).
+  Correspondence modes (config.expand_correspondence_mode):
+    "closest"  — every chain point uses the closest-point-on-polyline
+                 query (the round-2 formulation)
+    "epipolar" — reference semantics: the anchor polyline still comes
+                 from the unique closest-point query (the plmap anchor,
+                 polyLine_2d_map_search.cpp find_unique_polyline...),
+                 but the matched POSITION on it is the intersection of
+                 the chain point's driving-view epipolar line with that
+                 polyline when one exists within the tolerance — the
+                 reference's epipolar-intersection walk
+                 (triangulation.cpp:742-919) — falling back to the
+                 closest point (the reference's projection+plmap
+                 fallback) otherwise.
+  tests/test_expansion.py A/Bs the two modes on a curve scene.
+
+  The reference's follow_direction tail that EXTENDS the chain with
+  brand-new 3D points when an expansion walk matches the full remaining
+  chain (plg_matching.cpp:1393-1412) is implemented post-hoc by
+  refpoints.extend_chains: chains whose expanded observation set covers
+  a chain end are re-followed outward from that end with tuples drawn
+  from the EXPANDED view set.
 """
 
 from __future__ import annotations
@@ -63,6 +79,44 @@ from edgegraph3d_tpu.config import EdgeGraphConfig
 from edgegraph3d_tpu.matching import detection
 from edgegraph3d_tpu.ops.geometry import project_depth
 from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
+
+
+def _expand_candidates(grid_v, coords_v, proj, line, cell, tol: float,
+                       mode: str, qp_cos: float = 0.965):
+    """Per-query expansion candidate on one view.
+
+    proj [Q,2] projected chain points, line [Q,3] driving-view epipolar
+    lines (unused in "closest" mode).  Returns (pl, seg, t, xy, ok)
+    where ok = unique anchor polyline within tol (the reference's
+    find_unique_polyline_potentially_within_search_dist demand)."""
+    cl = jax.vmap(lambda pt: detection.detect_starting_intersections(
+        grid_v, coords_v, pt, cell, tol, 2))(proj)
+    pl = cl.pl_id[:, 0]
+    seg = cl.seg[:, 0]
+    t = cl.t[:, 0]
+    xy = cl.xy[:, 0]
+    ok = cl.valid[:, 0] & ~cl.valid[:, 1]
+    if mode == "epipolar":
+        # position refinement: intersect the epipolar line with the
+        # anchored polyline near the projection (reference walk step,
+        # next_pl_point_by_line_intersection); fall back to the closest
+        # point when the line misses within tol
+        # quasi-parallel crossings are excluded (the reference walk's
+        # next_pl_point_by_line_intersection quasi-parallel guard,
+        # polyline_graph_2d.hpp:72-74) — near-tangent intersections
+        # amplify discretization error; those points use the fallback
+        ep = jax.vmap(
+            lambda pt, ln: detection.detect_epipolar_correspondences(
+                grid_v, coords_v, pt, ln, cell, tol, 4,
+                exclude_parallel_cos=qp_cos))(proj, line)
+        same = ep.valid & (ep.pl_id == pl[:, None])        # [Q,4]
+        has = jnp.any(same, axis=1)
+        j = jnp.argmax(same, axis=1)
+        rq = jnp.arange(proj.shape[0])
+        seg = jnp.where(has, ep.seg[rq, j], seg)
+        t = jnp.where(has, ep.t[rq, j], t)
+        xy = jnp.where(has[:, None], ep.xy[rq, j], xy)
+    return pl, seg, t, xy, ok
 
 
 def _monotone_runs(pl_id: jnp.ndarray, pos: jnp.ndarray,
@@ -123,12 +177,13 @@ def _monotone_runs(pl_id: jnp.ndarray, pos: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def expand_chains_sweep(plg_coords, grids, P_mats, cell: float,
+def expand_chains_sweep(plg_coords, grids, P_mats, F_table, cell: float,
                         X, obs3, cams3, chain_valid,
                         cfg: EdgeGraphConfig):
     """Expand chains to all views with continuity + GN re-validation.
 
-    plg_coords [V,P,L,2], grids [V,GH,GW,K,2], P_mats [V,3,4];
+    plg_coords [V,P,L,2], grids [V,GH,GW,K,2], P_mats [V,3,4],
+    F_table [V,V,3,3] (epipolar correspondence mode);
     X [C,T,3] chain points (T = chain axis, padded), obs3 [C,T,3,2]
     tuple-view observations, cams3 [C,3] tuple view ids,
     chain_valid [C,T].
@@ -144,6 +199,9 @@ def expand_chains_sweep(plg_coords, grids, P_mats, cell: float,
     flat = lambda a: a.reshape((C * T,) + a.shape[2:])
 
     tol = float(np.sqrt(cfg.expand_max_projection_distsq))
+    vs = cams3[:, 0]                                       # [C] driving view
+    drive_h = jnp.concatenate(
+        [obs3[:, :, 0, :], jnp.ones((C, T, 1), dtype)], axis=-1)
 
     # observation buffers start with the 3 tuple views
     Omax = min(V, max(cfg.max_obs_per_point, 4))
@@ -173,20 +231,18 @@ def expand_chains_sweep(plg_coords, grids, P_mats, cell: float,
         X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, _ = carry
         proj, depth = project_depth(P_mats[v][None, None], X)   # [C,T,2]
 
-        def q(pt):
-            return detection.detect_starting_intersections(
-                grids[v], plg_coords[v], pt, cell, tol, 2)
-        cand = jax.vmap(q)(flat(proj))
-        c_pl = cand.pl_id[:, 0].reshape(C, T)
-        c_seg = cand.seg[:, 0].reshape(C, T)
-        c_t = cand.t[:, 0].reshape(C, T)
-        c_xy = cand.xy[:, 0].reshape(C, T, 2)
-        # the reference's anchor query demands a UNIQUE nearby polyline
-        # (find_unique_polyline_potentially_within_search_dist,
-        # polyLine_2d_map_search.cpp) — a second polyline within the
-        # tolerance invalidates the candidate
-        unique = ~cand.valid[:, 1].reshape(C, T)
-        c_ok = cand.valid[:, 0].reshape(C, T) & unique & (depth > 0)
+        Fv = jnp.take(F_table, v, axis=1)[vs]              # [C,3,3]
+        line = jnp.einsum("cij,ctj->cti", Fv, drive_h)
+        ln = jnp.sqrt(line[..., 0] ** 2 + line[..., 1] ** 2)
+        line = line / jnp.maximum(ln, 1e-20)[..., None]
+        pl, seg, t, xy, uq = _expand_candidates(
+            grids[v], plg_coords[v], flat(proj), flat(line), cell, tol,
+            cfg.expand_correspondence_mode, cfg.quasiparallel_cos)
+        c_pl = pl.reshape(C, T)
+        c_seg = seg.reshape(C, T)
+        c_t = t.reshape(C, T)
+        c_xy = xy.reshape(C, T, 2)
+        c_ok = uq.reshape(C, T) & (depth > 0)
 
         is_tuple = jnp.any(cams3 == v, axis=1)            # [C]
         c_ok = c_ok & ~is_tuple[:, None] & chain_valid
@@ -243,7 +299,7 @@ def expand_chains_sweep(plg_coords, grids, P_mats, cell: float,
 
 
 @partial(jax.jit, static_argnames=("cfg", "C", "T"))
-def expand_chains_compact(plg_coords, grids, P_mats, cell: float,
+def expand_chains_compact(plg_coords, grids, P_mats, F_table, cell: float,
                           X, obs3, cams3, chain_idx, t_idx, item_ok,
                           chain_valid, cfg: EdgeGraphConfig,
                           C: int, T: int):
@@ -265,6 +321,9 @@ def expand_chains_compact(plg_coords, grids, P_mats, cell: float,
     tol = float(np.sqrt(cfg.expand_max_projection_distsq))
     Omax = min(V, max(cfg.max_obs_per_point, 4))
     cam_rows = cams3[chain_idx]                            # [K,3]
+    vs = cam_rows[:, 0]                                    # [K] driving view
+    drive_h = jnp.concatenate(
+        [obs3[:, 0, :], jnp.ones((K, 1), dtype)], axis=-1)
 
     P3 = P_mats[cam_rows]                                  # [K,3,3,4]
     P_obs = jnp.zeros((K, Omax, 3, 4), dtype).at[:, :3].set(P3)
@@ -287,25 +346,25 @@ def expand_chains_compact(plg_coords, grids, P_mats, cell: float,
         proj = proj[:, 0]
         depth = depth[:, 0]
 
-        def q(pt):
-            return detection.detect_starting_intersections(
-                grids[v], plg_coords[v], pt, cell, tol, 2)
-        cand = jax.vmap(q)(proj)
-        unique = ~cand.valid[:, 1]
-        c_xy = cand.xy[:, 0]
+        Fv = jnp.take(F_table, v, axis=1)[vs]              # [K,3,3]
+        line = jnp.einsum("kij,kj->ki", Fv, drive_h)
+        ln = jnp.sqrt(line[..., 0] ** 2 + line[..., 1] ** 2)
+        line = line / jnp.maximum(ln, 1e-20)[..., None]
+        c_pl, c_seg, c_t, c_xy, uq = _expand_candidates(
+            grids[v], plg_coords[v], proj, line, cell, tol,
+            cfg.expand_correspondence_mode, cfg.quasiparallel_cos)
         is_tuple = jnp.any(cam_rows == v, axis=1)          # [K]
-        c_ok = cand.valid[:, 0] & unique & (depth > 0) \
-            & ~is_tuple & item_ok
+        c_ok = uq & (depth > 0) & ~is_tuple & item_ok
 
         # continuity run test in the [C,T] layout.  Padding rows are
         # routed to an OUT-OF-BOUNDS chain index so mode="drop" really
         # drops them — zero-padded chain_idx/t_idx would alias slot
         # (0, 0) and clobber a real chain point's scattered values
         # (the round-2 dense-vs-compact parity failure).
-        pos = cand.seg[:, 0].astype(dtype) + cand.t[:, 0]
+        pos = c_seg.astype(dtype) + c_t
         ci_s = jnp.where(item_ok, chain_idx, C)
         pl_g = jnp.full((C, T), -2, jnp.int32).at[ci_s, t_idx].set(
-            cand.pl_id[:, 0], mode="drop")
+            c_pl, mode="drop")
         pos_g = jnp.zeros((C, T), dtype).at[ci_s, t_idx].set(
             pos, mode="drop")
         ok_g = jnp.zeros((C, T), bool).at[ci_s, t_idx].set(

@@ -435,10 +435,10 @@ def seeds_from_match_sets(groups: list[np.ndarray], ctx: MatchingContext,
         # device-side compaction: 2 transfers per chunk (see
         # ops/compaction.py — the tunnel moves ~30 MB/s)
         from edgegraph3d_tpu.matching.refpoints import _pack_seed_outputs
-        from edgegraph3d_tpu.ops.compaction import to_host
+        from edgegraph3d_tpu.ops.compaction import host_count, to_host
         cap = 16 * group_chunk
         buf, n = _pack_seed_outputs(out, cap)
-        if int(n) > cap:    # dense chunk: repack at full width
+        if host_count(n) > cap:    # dense chunk: repack at full width
             buf, n = _pack_seed_outputs(
                 out, int(np.prod(out["valid"].shape)))
         rows, n_int = to_host(buf, n)

@@ -524,16 +524,36 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
         sm = np.pad(start_mask[lo:hi], ((0, pad), (0, 0)))
         from edgegraph3d_tpu.ops.compaction import to_host
         if ctx.mesh is not None:
+            # same two-kernel compacted path as single-device, with the
+            # refpoint axis sharded over the mesh; the compacted start
+            # buffers stay device-local between kernels A and B
             from edgegraph3d_tpu.parallel import sharded
-            out = sharded.sharded_seed_sweep(
+            nd = ctx.n_shards
+            Nd = refpoint_chunk // nd
+            full_d = Nd * obs_mask.shape[1] * M
+            cap_d = min(4 * Nd, full_d)
+            sbuf, ns = sharded.sharded_start_sweep(
+                ctx.mesh, ctx.plg_coords, ctx.grids, ctx.cell,
+                jnp.asarray(ox), jnp.asarray(sm),
+                cfg.detection_starting_dist_px, M, cap_d)
+            from edgegraph3d_tpu.ops.compaction import fetch_global
+            if (fetch_global(ns) > cap_d).any():  # dense block: full width
+                cap_d = full_d
+                sbuf, ns = sharded.sharded_start_sweep(
+                    ctx.mesh, ctx.plg_coords, ctx.grids, ctx.cell,
+                    jnp.asarray(ox), jnp.asarray(sm),
+                    cfg.detection_starting_dist_px, M, cap_d)
+            buf, n = sharded.sharded_seed_from_starts(
                 ctx.mesh, ctx.plg_coords, ctx.plg_length, ctx.grids,
-                ctx.P_mats, ctx.F_table, ctx.cell, jnp.asarray(ox),
-                jnp.asarray(om), jnp.asarray(sm), M, cfg)
-            cap = 8 * refpoint_chunk
-            buf, n = _pack_seed_outputs(out, cap)
-            if int(n) > cap:    # rare dense chunk: repack at full width
-                buf, n = _pack_seed_outputs(
-                    out, int(np.prod(out["valid"].shape)))
+                ctx.P_mats, ctx.F_table, ctx.cell, sbuf, ns,
+                jnp.asarray(ox), jnp.asarray(om), M, cfg, cap_d)
+            bufs = fetch_global(buf).reshape(nd, cap_d, 22)
+            n_dev = np.minimum(fetch_global(n), cap_d)
+            rows = np.concatenate([bufs[d, : n_dev[d]]
+                                   for d in range(nd)])
+            # refpoint-row column is local to the device block
+            rows[:, 21] += np.repeat(np.arange(nd) * Nd, n_dev)
+            n_int = len(rows)
         else:
             # compacted two-kernel fast path (see _start_sweep docstring)
             full = refpoint_chunk * obs_mask.shape[1] * M
@@ -541,7 +561,8 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
             sbuf, ns = _start_sweep(
                 ctx.plg_coords, ctx.grids, ctx.cell, jnp.asarray(ox),
                 jnp.asarray(sm), cfg.detection_starting_dist_px, M, cap_s)
-            if int(ns) > cap_s:   # dense chunk: recompact at full width
+            from edgegraph3d_tpu.ops.compaction import host_count
+            if host_count(ns) > cap_s:  # dense chunk: full-width recompact
                 cap_s = full
                 sbuf, ns = _start_sweep(
                     ctx.plg_coords, ctx.grids, ctx.cell, jnp.asarray(ox),
@@ -551,7 +572,7 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
                 ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
                 ctx.F_table, ctx.cell, sbuf, ns, jnp.asarray(ox),
                 jnp.asarray(om), M, cfg, cap_s)
-        rows, n_int = to_host(buf, n)
+            rows, n_int = to_host(buf, n)
         if n_int == 0:
             continue
         seeds_acc["cams"].append(rows[:, 0:3].astype(np.int32))
@@ -646,14 +667,16 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
         ms = cfg.new_point_min_steps if min_steps is None else min_steps
         buf, n_emit, meta = following.pack_follow_outputs(
             fwd, bwd, seeds.valid, ms, cap)
-        if int(n_emit) > cap:
+        from edgegraph3d_tpu.ops.compaction import host_count
+        if host_count(n_emit) > cap:
             # dense chunk: repack at full width (2 directions x S x T)
             cap = 2 * seed_chunk * cfg.max_follow_steps
             buf, n_emit, meta = following.pack_follow_outputs(
                 fwd, bwd, seeds.valid, ms, cap)
         from edgegraph3d_tpu.ops.compaction import to_host
+        from edgegraph3d_tpu.ops.compaction import fetch_global
         rows, _ = to_host(buf, n_emit)
-        return rows, np.asarray(meta)[: len(valid_np)]
+        return rows, fetch_global(meta)[: len(valid_np)]
 
     def queue_continuations(pending, chunk, meta, accept, seed_gid,
                             order_base_f, order_base_b, first_round,
@@ -813,20 +836,52 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
         vl = np.pad(vld[lo:hi], ((0, pad), (0, 0)))
         cm = jnp.asarray(cams3[gi[:, 0]].astype(np.int32))
         if ctx.mesh is not None:
+            # chains partitioned over devices (contiguous blocks), each
+            # device running the same compacted kernel as single-device
             from edgegraph3d_tpu.parallel import sharded
-            Xc = jnp.asarray(X32[gi])
-            o3 = jnp.asarray(obs3_32[gi])
-            cv = jnp.asarray(vl)
-            Xr, oxy, ook, _ = sharded.sharded_expand_chains(
+            nd = ctx.n_shards
+            Cd = chunk // nd
+            vl_dev = vl.reshape(nd, Cd, chain_t)
+            kidx_dev = [np.flatnonzero(vl_dev[d].reshape(-1))
+                        for d in range(nd)]
+            Kd = Cd * chain_t // 4
+            if max((len(k) for k in kidx_dev), default=0) > Kd:
+                Kd = Cd * chain_t
+            Xd = np.zeros((nd, Kd, 3), np.float32)
+            o3d = np.zeros((nd, Kd, 3, 2), np.float32)
+            cid = np.full((nd, Kd), Cd, np.int32)      # pads OOB
+            tid = np.full((nd, Kd), chain_t, np.int32)
+            iok = np.zeros((nd, Kd), bool)
+            rows_dev = []
+            gi_flat = gi.reshape(nd, Cd * chain_t)
+            for d in range(nd):
+                k = kidx_dev[d]
+                nk = len(k)
+                rd = gi_flat[d][k]
+                Xd[d, :nk] = X32[rd]
+                o3d[d, :nk] = obs3_32[rd]
+                cid[d, :nk] = (k // chain_t).astype(np.int32)
+                tid[d, :nk] = (k % chain_t).astype(np.int32)
+                iok[d, :nk] = True
+                rows_dev.append(rd)
+            Xr, oxy, ook, _ = sharded.sharded_expand_compact(
                 ctx.mesh, ctx.plg_coords, ctx.grids, ctx.P_mats,
-                ctx.cell, Xc, o3, cm, cv, cfg)
-            CT = Xr.shape[0] * Xr.shape[1]
-            packed = np.asarray(jnp.concatenate(
-                [Xr.reshape(CT, 3), oxy.reshape(CT, V * 2),
-                 ook.astype(Xr.dtype).reshape(CT, V)],
-                axis=1)).reshape(Xr.shape[0], chain_t, 3 + 3 * V)
-            rows = gi[vl]
-            sel = packed[vl]
+                ctx.F_table, ctx.cell, jnp.asarray(Xd.reshape(nd * Kd, 3)),
+                jnp.asarray(o3d.reshape(nd * Kd, 3, 2)), cm,
+                jnp.asarray(cid.reshape(-1)),
+                jnp.asarray(tid.reshape(-1)),
+                jnp.asarray(iok.reshape(-1)), jnp.asarray(vl), cfg,
+                Cd, chain_t)
+            from edgegraph3d_tpu.ops.compaction import fetch_global
+            packed = fetch_global(jnp.concatenate(
+                [Xr, oxy.reshape(nd * Kd, V * 2),
+                 ook.astype(Xr.dtype).reshape(nd * Kd, V)],
+                axis=1)).reshape(nd, Kd, 3 + 3 * V)
+            rows = np.concatenate(rows_dev) if rows_dev else \
+                np.zeros(0, np.int64)
+            sel = np.concatenate(
+                [packed[d, : len(kidx_dev[d])] for d in range(nd)]) \
+                if rows_dev else packed.reshape(0, 3 + 3 * V)
         else:
             # compacted fast path: detection + GN only on valid chain
             # points (see expansion.expand_chains_compact)
@@ -844,7 +899,8 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
             ti = np.pad((kidx % chain_t).astype(np.int32), (0, pad_k),
                         constant_values=chain_t)
             Xr, oxy, ook, _ = expansion.expand_chains_compact(
-                ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.cell,
+                ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.F_table,
+                ctx.cell,
                 jnp.asarray(np.pad(X32[rows], ((0, pad_k), (0, 0)))),
                 jnp.asarray(np.pad(obs3_32[rows],
                                    ((0, pad_k), (0, 0), (0, 0)))),
@@ -862,6 +918,245 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
     return EdgePoints(X=X_out, obs_xy=obs_xy, obs_mask=obs_mask,
                       seed_refpoint=refs, seed_id=seed_ids,
                       chain_order=orders)
+
+
+# ----------------------------------------------------------------------
+# Chain extension from the expanded view set
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _locate_on_polylines(plg_coords, plg_length, grids, cell, view_ids,
+                         xy, dir2):
+    """(view, xy, image-space direction) -> closest polyline position
+    plus the REMAINING arc length of that polyline in the direction
+    (the xy are known polyline points; tol 2 px re-anchors them).
+    Returns packed [Q, 6] f32 rows [pl, seg, t, ok, dist, remaining]."""
+    def q(v, pt):
+        return detection.detect_starting_intersections(
+            grids[v], plg_coords[v], pt, cell, 2.0, 1)
+    cand = jax.vmap(q)(view_ids, xy)
+    pl = jnp.maximum(cand.pl_id[:, 0], 0)
+    seg = jnp.maximum(cand.seg[:, 0], 0)
+    coords = plg_coords[view_ids, pl]                      # [Q,L,2]
+    L = coords.shape[1]
+    n_pts = plg_length[view_ids, pl]                       # [Q]
+    seg_vec = coords[:, 1:] - coords[:, :-1]               # [Q,L-1,2]
+    seg_len = jnp.sqrt(jnp.sum(seg_vec ** 2, axis=-1))
+    seg_ok = jnp.arange(L - 1)[None, :] < (n_pts[:, None] - 1)
+    seg_len = jnp.where(seg_ok, seg_len, 0.0)
+    tangent = jnp.take_along_axis(
+        seg_vec, seg[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    fwd = jnp.sum(tangent * dir2, axis=-1) >= 0            # [Q]
+    cum = jnp.cumsum(seg_len, axis=1)
+    total = cum[:, -1]
+    done = jnp.take_along_axis(
+        cum, seg[:, None].astype(jnp.int32), axis=1)[:, 0] \
+        - (1.0 - cand.t[:, 0]) * jnp.take_along_axis(
+            seg_len, seg[:, None].astype(jnp.int32), axis=1)[:, 0]
+    remaining = jnp.where(fwd, total - done, done)
+    f = xy.dtype
+    return jnp.stack([
+        cand.pl_id[:, 0].astype(f), cand.seg[:, 0].astype(f),
+        cand.t[:, 0], cand.valid[:, 0].astype(f),
+        jnp.minimum(cand.dist[:, 0], 1e18), remaining], axis=1)
+
+
+def extend_chains(ctx: MatchingContext, pts: EdgePoints,
+                  manager: "matches_mod.MatchesManager") -> EdgePoints:
+    """Grow chains outward from their ends using the EXPANDED view set
+    (parity: the reference's follow_direction tail inside
+    add_view_to_3dpoint_and_sides_plgp_matches_vector,
+    plg_matching.cpp:1393-1412 — once a new view matches through a
+    chain end, following continues past the end and appends brand-new
+    3D points).  TPU formulation: after expansion, every chain end
+    whose expanded observation set still has >= 3 views seeds a fresh
+    bidirectional follow from the end position; only the direction
+    moving AWAY from the chain (first new point on the far side of the
+    end w.r.t. its neighbour) is kept — the equivalent of the
+    reference's per-view direction discovery against the known 3D
+    chain (plg_matching.cpp:933-1058).  New points are expanded to all
+    views and appended with continuing chain orders; rounds repeat
+    while points are added (cfg.max_extension_rounds)."""
+    for _ in range(ctx.config.max_extension_rounds):
+        added = _extend_once(ctx, pts, manager)
+        if added is None:
+            break
+        pts = added
+    return pts
+
+
+def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
+    cfg = ctx.config
+    V = ctx.P_mats.shape[0]
+    n = len(pts.X)
+    if n == 0:
+        return None
+    order = np.lexsort((pts.chain_order, pts.seed_id))
+    sid = pts.seed_id[order]
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(sid)) + 1, [n]])
+    ends = []                                   # (end_row, prev_row, sign)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a < 2:
+            continue
+        ends.append((order[b - 1], order[b - 2], 1))
+        ends.append((order[a], order[a + 1], -1))
+    if not ends:
+        return None
+    e = np.asarray(ends, np.int64)
+    E = len(e)
+
+    # tuple views: observed at BOTH the end and its neighbour (so the
+    # away-from-chain test is defined), consistent at the end point
+    # (reprojection residual < 2 px — a marginal observation like a
+    # decoy edge inside the MSE gate must not steer new geometry), and
+    # ranked by REMAINING polyline arc in the away direction — the
+    # TPU-tuple stand-in for the reference's per-view dropout
+    # (compatible(), plg_matching.cpp:633-759, silently drops views
+    # whose polylines end and follows with the survivors; a fixed
+    # 3-tuple must instead pick the views whose edges continue)
+    m = pts.obs_mask[e[:, 0]] & pts.obs_mask[e[:, 1]]       # [E,V]
+    X_end = pts.X[e[:, 0]]
+    X_prev = pts.X[e[:, 1]]
+    away_dir = X_end - X_prev                                # [E,3]
+    P_np = np.asarray(ctx.P_mats, np.float64)
+    Xh = np.concatenate([X_end, np.ones((E, 1))], axis=1)    # [E,4]
+    proj = np.einsum("vij,ej->evi", P_np, Xh)
+    proj = proj[..., :2] / np.maximum(proj[..., 2:3], 1e-9)
+    resid = np.linalg.norm(proj - pts.obs_xy[e[:, 0]], axis=-1)
+    X2h = np.concatenate([X_end + 0.5 * away_dir,
+                          np.ones((E, 1))], axis=1)
+    proj2 = np.einsum("vij,ej->evi", P_np, X2h)
+    proj2 = proj2[..., :2] / np.maximum(proj2[..., 2:3], 1e-9)
+    dir2 = (proj2 - proj).astype(np.float32)                 # [E,V,2]
+
+    # locate EVERY candidate (end, view) on its polyline + remaining arc
+    fdt = ctx.plg_coords.dtype
+    Q = E * V
+    Qp = 1 << max(int(np.ceil(np.log2(max(Q, 256)))), 0)
+    vq = np.pad(np.tile(np.arange(V, dtype=np.int32), E), (0, Qp - Q))
+    xq = np.pad(pts.obs_xy[e[:, 0]].reshape(-1, 2).astype(fdt),
+                ((0, Qp - Q), (0, 0)))
+    dq = np.pad(dir2.reshape(-1, 2).astype(fdt), ((0, Qp - Q), (0, 0)))
+    loc_all = np.asarray(_locate_on_polylines(
+        ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.cell,
+        jnp.asarray(vq), jnp.asarray(xq),
+        jnp.asarray(dq)))[:Q].reshape(E, V, 6)
+
+    eligible = m & (loc_all[..., 3] > 0.5) & (resid < 2.0)
+    remaining = np.where(eligible, loc_all[..., 5], -1.0)
+    # top-3 by remaining arc, ties to lower view id
+    rank = np.lexsort((np.broadcast_to(np.arange(V), (E, V)),
+                       -remaining), axis=1)
+    tv = rank[:, :3]                                         # [E,3]
+    ok_e = eligible.sum(axis=1) >= 3
+    if not ok_e.any():
+        return None
+    e, tv = e[ok_e], np.sort(tv[ok_e], axis=1).astype(np.int32)
+    X_end, X_prev, away_dir = X_end[ok_e], X_prev[ok_e], away_dir[ok_e]
+    loc = np.take_along_axis(loc_all[ok_e], tv[:, :, None],
+                             axis=1)                         # [E,3,6]
+    end_xy = np.take_along_axis(
+        pts.obs_xy[e[:, 0]], tv[:, :, None], axis=1)         # [E,3,2]
+    E = len(e)
+
+    # bidirectional follow from the end position
+    Sp = 1 << max(int(np.ceil(np.log2(max(E, 256)))), 0)
+    pad = Sp - E
+
+    def padded(a, fill=0):
+        return jnp.asarray(np.pad(
+            a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+            constant_values=fill))
+    seeds = following.SeedTuple(
+        cams=padded(tv), pl_id=padded(loc[..., 0].astype(np.int32)),
+        seg=padded(loc[..., 1].astype(np.int32)),
+        t=padded(loc[..., 2].astype(fdt)),
+        xy=padded(end_xy.astype(fdt)),
+        X=padded(pts.X[e[:, 0]].astype(fdt)),
+        valid=jnp.asarray(np.pad(np.ones(E, bool), (0, pad))))
+    fwd, bwd, _ = following.follow_seeds_bidirectional(
+        seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats, ctx.F_table,
+        cfg, cfg.max_follow_steps)
+    cap = 32 * Sp
+    buf, n_emit, meta = following.pack_follow_outputs(
+        fwd, bwd, seeds.valid, 1, cap)
+    from edgegraph3d_tpu.ops.compaction import host_count, to_host
+    if host_count(n_emit) > cap:
+        cap = 2 * Sp * cfg.max_follow_steps
+        buf, n_emit, meta = following.pack_follow_outputs(
+            fwd, bwd, seeds.valid, 1, cap)
+    rows, _ = to_host(buf, n_emit)
+    meta = np.asarray(meta)[:E]
+    if len(rows) == 0:
+        return None
+
+    # away-from-chain direction filter: the first new 3D point of the
+    # kept direction must lie on the far side of the end point
+    sidx = rows[:, 9].astype(np.int64)
+    rord = rows[:, 10].astype(np.int64)
+    dots = np.full((E, 2), -np.inf)                          # [E, fwd/bwd]
+    first = np.abs(rord) == 1
+    for drow in np.flatnonzero(first):
+        s = sidx[drow]
+        d = 0 if rord[drow] > 0 else 1
+        dots[s, d] = np.dot(rows[drow, 0:3] - X_end[s], away_dir[s])
+    keep_dir = dots > 0
+    # at most ONE direction continues a chain end (a tie would emit
+    # duplicate chain orders); keep the one reaching farther out
+    bidx = np.flatnonzero(keep_dir.all(axis=1))
+    keep_dir[bidx, np.argmin(dots[bidx], axis=1)] = False
+    keep_rows = np.where(rord > 0, keep_dir[sidx, 0], keep_dir[sidx, 1])
+    if not keep_rows.any():
+        return None
+
+    # claim the kept arcs (zero-span finals for the dropped direction)
+    success = keep_dir.any(axis=1)
+    f_seg = np.where(keep_dir[:, 0:1], meta[:, _M_FSEG].astype(np.int64),
+                     loc[..., 1].astype(np.int64))
+    f_t = np.where(keep_dir[:, 0:1], meta[:, _M_FT], loc[..., 2])
+    b_seg = np.where(keep_dir[:, 1:2], meta[:, _M_BSEG].astype(np.int64),
+                     loc[..., 1].astype(np.int64))
+    b_t = np.where(keep_dir[:, 1:2], meta[:, _M_BT], loc[..., 2])
+    accept = manager.resolve_and_claim(
+        success, tv, loc[..., 0].astype(np.int64),
+        loc[..., 1].astype(np.int64), loc[..., 2],
+        f_seg, f_t, b_seg, b_t, skip_start_check=True)
+    keep_rows &= accept[sidx]
+    if not keep_rows.any():
+        return None
+    rows = rows[keep_rows]
+    sidx = sidx[keep_rows]
+    rord = rord[keep_rows]
+
+    # expand the new points to all views (fresh short chains per end)
+    sign_e = e[:, 2]
+    parent_order = pts.chain_order[e[:, 0]]
+    new_pts = expand_and_assemble(
+        ctx, rows[:, 0:3].astype(np.float64),
+        rows[:, 3:9].reshape(-1, 3, 2), tv[sidx],
+        pts.seed_refpoint[e[sidx, 0]], sidx, np.abs(rord))
+    # graft onto the parent chains: parent seed ids, continuing orders.
+    # Compute BOTH before assigning — new_pts.seed_id aliases the sidx
+    # array passed into expand_and_assemble.
+    parent_sid = pts.seed_id[e[sidx, 0]]
+    new_order = parent_order[sidx] + sign_e[sidx] * np.abs(rord)
+    new_pts.seed_id[:] = parent_sid
+    new_pts.chain_order[:] = new_order
+    manager.counters["extension_points"] = \
+        manager.counters.get("extension_points", 0) + len(new_pts.X)
+    manager.counters["extension_rounds"] = \
+        manager.counters.get("extension_rounds", 0) + 1
+
+    return EdgePoints(
+        X=np.concatenate([pts.X, new_pts.X]),
+        obs_xy=np.concatenate([pts.obs_xy, new_pts.obs_xy]),
+        obs_mask=np.concatenate([pts.obs_mask, new_pts.obs_mask]),
+        seed_refpoint=np.concatenate([pts.seed_refpoint,
+                                      new_pts.seed_refpoint]),
+        seed_id=np.concatenate([pts.seed_id, new_pts.seed_id]),
+        chain_order=np.concatenate([pts.chain_order,
+                                    new_pts.chain_order]))
 
 
 def reconstruct_from_refpoints(
@@ -885,4 +1180,5 @@ def reconstruct_from_refpoints(
                       seed_id_offset)
     if res is None:
         return _empty_points(V)
-    return expand_and_assemble(ctx, *res)
+    pts = expand_and_assemble(ctx, *res)
+    return extend_chains(ctx, pts, manager)

@@ -36,6 +36,33 @@ def compact_rows(valid: jnp.ndarray, payload: jnp.ndarray, cap: int):
     return buf[:cap], jnp.sum(valid.astype(jnp.int32))
 
 
+def fetch_global(x):
+    """Device array -> host numpy, across process boundaries.
+
+    Multi-process meshes produce arrays whose shards live on other
+    processes; every process reconstructs the FULL value (host-side
+    claiming/assembly logic is replicated-deterministic across
+    processes — tests/test_multihost.py asserts the agreement)."""
+    import numpy as np
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def host_count(n) -> int:
+    """Fetch a device scalar count via a 1-element array.
+
+    NEVER `int()` / `float()` a 0-d device array on the tunneled TPU:
+    the 0-d literal-fetch path can stall for minutes (measured 600+ s
+    for one scalar, tools/profile_stages.py --probe-scalar-fetch),
+    while a [1] array fetch of the same value is <1 ms."""
+    import numpy as np
+    if isinstance(n, (int, np.integer)):
+        return int(n)
+    return int(fetch_global(jnp.reshape(n, (1,)))[0])
+
+
 def to_host(buf, n) -> "tuple":
     """Transfer the packed prefix only: one tiny sync for `n`, then a
     single device slice whose length is BUCKETED to the next power of
@@ -44,9 +71,13 @@ def to_host(buf, n) -> "tuple":
     bucketing keeps the slice-program count at O(log cap), all warm
     after the first pass."""
     import numpy as np
-    n = int(n)
+    n = host_count(n)
     if n == 0:
         return np.zeros((0, buf.shape[-1]), buf.dtype), 0
     cap = buf.shape[0]
+    if not getattr(buf, "is_fully_addressable", True):
+        # cross-process shards: gather whole (slicing a global array at
+        # a non-shard-aligned bound would reshard anyway)
+        return fetch_global(buf)[: min(n, cap)], n
     b = min(1 << (max(n, 1) - 1).bit_length(), cap)
     return np.asarray(buf[:b])[: min(n, cap)], n

@@ -101,31 +101,58 @@ def sharded_gauss_newton(mesh, P_obs, xy, mask, X0, **kw):
 # Sharded reconstruction sweeps (refpoints / seeds / points over devices)
 # ----------------------------------------------------------------------
 
-def sharded_seed_sweep(mesh, plg_coords, plg_length, grids, P_mats,
-                       F_table, cell, obs_xy, obs_mask, start_mask,
-                       M: int, cfg):
-    """Seed formation with the refpoint axis sharded over the mesh.
+def sharded_start_sweep(mesh, plg_coords, grids, cell, obs_xy,
+                        start_mask, starting_dist: float, M: int,
+                        cap_dev: int):
+    """Compacted kernel A with the refpoint axis sharded over the mesh.
 
     TPU-native replacement of `#pragma omp for` over refpoints
-    (reference: plg_matching_from_refpoints.cpp:89-95): each device forms
-    seeds for its slice of refpoints against replicated PLG/grid tensors;
-    no collectives are needed."""
+    (reference: plg_matching_from_refpoints.cpp:89-95): each device
+    detects + stream-compacts starting intersections for its contiguous
+    refpoint block (cap_dev slots per device) against replicated
+    PLG/grid tensors; no collectives.  Returns (buf [D*cap_dev, 8],
+    n [D]) in device-block order = global refpoint order."""
     from edgegraph3d_tpu.matching import refpoints as refpoints_mod
 
     sh = P(SHARD_AXIS)
     rep = P()
 
-    def local(obs_xy, obs_mask, start_mask, plg_coords, plg_length,
-              grids, P_mats, F_table):
-        return refpoints_mod._seed_sweep(
+    def local(obs_xy, start_mask, plg_coords, grids):
+        buf, n = refpoints_mod._start_sweep(
+            plg_coords, grids, cell, obs_xy, start_mask, starting_dist,
+            M, cap_dev)
+        return buf, n[None]
+
+    fn = shard_map(local, mesh=mesh, in_specs=(sh, sh, rep, rep),
+                   out_specs=(sh, sh), check_vma=False)
+    return fn(obs_xy, start_mask, plg_coords, grids)
+
+
+def sharded_seed_from_starts(mesh, plg_coords, plg_length, grids, P_mats,
+                             F_table, cell, starts_buf, n_starts, obs_xy,
+                             obs_mask, M: int, cfg, cap_dev: int):
+    """Compacted kernel B sharded: correspondences + 3-view seeding on
+    each device's compacted start block (which stays device-local
+    between the two kernels — no host round trip).  The emitted
+    refpoint-row column is LOCAL to the device block; the caller adds
+    the block offset.  Returns (buf [D*cap_dev, 22], n [D])."""
+    from edgegraph3d_tpu.matching import refpoints as refpoints_mod
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+
+    def local(starts_buf, n_starts, obs_xy, obs_mask, plg_coords,
+              plg_length, grids, P_mats, F_table):
+        buf, n = refpoints_mod._seed_from_starts(
             plg_coords, plg_length, grids, P_mats, F_table, cell,
-            obs_xy, obs_mask, start_mask, M, cfg)
+            starts_buf, n_starts[0], obs_xy, obs_mask, M, cfg, cap_dev)
+        return buf, n[None]
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, sh, sh, rep, rep, rep, rep, rep),
-                   out_specs=sh, check_vma=False)
-    return fn(obs_xy, obs_mask, start_mask, plg_coords, plg_length,
-              grids, P_mats, F_table)
+                   in_specs=(sh, sh, sh, sh, rep, rep, rep, rep, rep),
+                   out_specs=(sh, sh), check_vma=False)
+    return fn(starts_buf, n_starts, obs_xy, obs_mask, plg_coords,
+              plg_length, grids, P_mats, F_table)
 
 
 def sharded_follow_bidirectional(mesh, seeds, plg_coords, plg_length,
@@ -177,22 +204,30 @@ def sharded_follow_fixed(mesh, seeds, plg_coords, plg_length, P_mats,
               F_table)
 
 
-def sharded_expand_chains(mesh, plg_coords, grids, P_mats, cell,
-                          X, obs3, cams3, chain_valid, cfg):
-    """Chain-aware all-view expansion with the CHAIN axis sharded
-    (matching/expansion.py); each device expands its slice of chains
-    against replicated PLG tensors — no collectives."""
+def sharded_expand_compact(mesh, plg_coords, grids, P_mats, F_table,
+                           cell, X, obs3, cams3, chain_idx, t_idx,
+                           item_ok, chain_valid, cfg, C_dev: int, T: int):
+    """Compacted chain-aware expansion with CHAINS partitioned over
+    devices (all points of a chain stay on one device — the continuity
+    run test is chain-local).  Flat item tensors are device-major
+    [D*K_dev, ...], chain tensors [D*C_dev, ...]; `chain_idx` is LOCAL
+    to each device block (padding rows index out of bounds).  Each
+    device expands its slice against replicated PLG tensors — no
+    collectives.  Returns (X' [D*K_dev,3], out_xy, out_ok, mse)."""
     from edgegraph3d_tpu.matching import expansion
 
     sh = P(SHARD_AXIS)
     rep = P()
 
-    def local(X, obs3, cams3, chain_valid, plg_coords, grids, P_mats):
-        return expansion.expand_chains_sweep(
-            plg_coords, grids, P_mats, cell, X, obs3, cams3,
-            chain_valid, cfg)
+    def local(X, obs3, cams3, chain_idx, t_idx, item_ok, chain_valid,
+              plg_coords, grids, P_mats, F_table):
+        return expansion.expand_chains_compact(
+            plg_coords, grids, P_mats, F_table, cell, X, obs3, cams3,
+            chain_idx, t_idx, item_ok, chain_valid, cfg, C_dev, T)
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, sh, sh, sh, rep, rep, rep),
-                   out_specs=sh, check_vma=False)
-    return fn(X, obs3, cams3, chain_valid, plg_coords, grids, P_mats)
+                   in_specs=(sh, sh, sh, sh, sh, sh, sh, rep, rep, rep,
+                             rep),
+                   out_specs=(sh, sh, sh, sh), check_vma=False)
+    return fn(X, obs3, cams3, chain_idx, t_idx, item_ok, chain_valid,
+              plg_coords, grids, P_mats, F_table)

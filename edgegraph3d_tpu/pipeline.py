@@ -125,13 +125,18 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
                 n = len(res[0])
         stats.log("stage3_refpoints", t0, n)
 
-    stats.counters.update(manager.counters)
     if not pieces:
+        stats.counters.update(manager.counters)
         return refpoints_mod._empty_points(V)
     merged = [np.concatenate([p[i] for p in pieces]) for i in range(6)]
     t0 = time.time()
     pts = refpoints_mod.expand_and_assemble(ctx, *merged)
     stats.log("expand_all_views", t0, len(pts.X))
+    t0 = time.time()
+    pts = refpoints_mod.extend_chains(ctx, pts, manager)
+    stats.log("chain_extension", t0,
+              manager.counters.get("extension_points", 0))
+    stats.counters.update(manager.counters)
     return pts
 
 

@@ -188,7 +188,9 @@ def from_polyline_list(polylines: list[np.ndarray],
         order = np.argsort([-len(p) for p in polylines], kind="stable")
         polylines = [polylines[i] for i in order[:max_polylines]]
 
-    P = max_polylines if max_polylines is not None else max(len(polylines), 1)
+    # size the arrays to the data (max_polylines is the DROP cap, not
+    # the storage shape — stack_plgs re-pads to the shared pow2 bucket)
+    P = max(len(polylines), 1)
     L = max_len if max_len is not None else max(
         (len(p) for p in polylines), default=2)
     coords = np.zeros((P, L, 2), dtype=np.float32)
@@ -242,16 +244,27 @@ class PLGStack:
                                      self.end_node[v].max(initial=-1)) + 1))
 
 
+def _pow2_bucket(need: int, floor: int, cap: int) -> int:
+    """Smallest power-of-two >= max(need, floor), clamped to cap.
+
+    Shapes are DATA-DERIVED: a scene pays for the capacity it uses
+    (rounded to a pow2 bucket so similar scenes reuse compiled
+    programs), while `cap` remains the audited real-data budget
+    (tools/capacity_audit.py) and the overflow-drop threshold."""
+    b = 1 << max(int(np.ceil(np.log2(max(need, floor, 1)))), 0)
+    return min(max(b, floor), cap)
+
+
 def stack_plgs(plgs: list[PLG2D], max_polylines: int,
                max_len: int) -> PLGStack:
-    """Pad every view's PLG to the common (P, L) budget and stack."""
+    """Pad every view's PLG to a shared pow2-bucketed (P, L) shape and
+    stack.  `max_polylines`/`max_len` are caps: chains beyond them are
+    dropped (counted in overflow_dropped) / truncated, but a scene that
+    needs less gets a smaller bucket — fixed worst-case shapes would
+    make every device program pay dtu006-scale cost on every scene."""
     V = len(plgs)
-    coords = np.zeros((V, max_polylines, max_len, 2), dtype=np.float32)
-    length = np.zeros((V, max_polylines), dtype=np.int32)
-    sn = np.full((V, max_polylines), -1, dtype=np.int32)
-    en = np.full((V, max_polylines), -1, dtype=np.int32)
-    dropped = 0
-    for v, plg in enumerate(plgs):
+    compacted, dropped = [], 0
+    for plg in plgs:
         dropped += plg.overflow_dropped
         g = plg.compact()
         if g.coords.shape[0] > max_polylines:
@@ -260,11 +273,22 @@ def stack_plgs(plgs: list[PLG2D], max_polylines: int,
             g = PLG2D(coords=g.coords[order], length=g.length[order],
                       start_node=g.start_node[order],
                       end_node=g.end_node[order], n_nodes=g.n_nodes)
-        P = g.coords.shape[0]
-        L = min(g.coords.shape[1], max_len)
-        coords[v, :P, :L] = g.coords[:, :L]
-        length[v, :P] = np.minimum(g.length, L)
-        sn[v, :P] = g.start_node
-        en[v, :P] = g.end_node
+        compacted.append(g)
+    need_P = max((g.coords.shape[0] for g in compacted), default=1)
+    need_L = max((int(g.length.max(initial=2)) for g in compacted),
+                 default=2)
+    P_pad = _pow2_bucket(need_P, 256, max_polylines)
+    L_pad = _pow2_bucket(need_L, 16, max_len)
+    coords = np.zeros((V, P_pad, L_pad, 2), dtype=np.float32)
+    length = np.zeros((V, P_pad), dtype=np.int32)
+    sn = np.full((V, P_pad), -1, dtype=np.int32)
+    en = np.full((V, P_pad), -1, dtype=np.int32)
+    for v, g in enumerate(compacted):
+        P = min(g.coords.shape[0], P_pad)
+        L = min(g.coords.shape[1], L_pad)
+        coords[v, :P, :L] = g.coords[:P, :L]
+        length[v, :P] = np.minimum(g.length[:P], L)
+        sn[v, :P] = g.start_node[:P]
+        en[v, :P] = g.end_node[:P]
     return PLGStack(coords=coords, length=length, start_node=sn,
                     end_node=en, overflow_dropped=dropped)

@@ -97,6 +97,109 @@ def test_decoy_edge_rejected_by_gn_revalidation():
         "projection (decoy attached by expansion)")
 
 
+def test_expansion_mode_ab():
+    """A/B of expand_correspondence_mode (VERDICT r2 next #7): the
+    epipolar-walk positions must not lose acceptance vs the closest-point
+    formulation and must reproject at least as accurately."""
+    sfmd, imgs, _ = _line_scene(n_cams=6)
+    res = {}
+    for mode in ("closest", "epipolar"):
+        cfg = CFG.replace(expand_correspondence_mode=mode,
+                          max_extension_rounds=0)
+        pts, ctx = _run_stage3(sfmd, imgs, cfg)
+        P = np.asarray(ctx.P_mats)
+        Xh = np.concatenate([pts.X, np.ones((len(pts.X), 1))], axis=1)
+        proj = np.einsum("vij,nj->nvi", P, Xh)
+        proj = proj[..., :2] / proj[..., 2:3]
+        err = np.linalg.norm(proj - pts.obs_xy, axis=-1)[pts.obs_mask]
+        res[mode] = dict(obs=int(pts.obs_mask.sum()),
+                         p99=float(np.percentile(err, 99)),
+                         med=float(np.median(err)))
+    # measured (helix, 6 cams): identical acceptance; epipolar p99
+    # ~2.2 px vs closest ~1.1 px — the intersection amplifies the
+    # driving view's polyline discretization by 1/sin(crossing angle).
+    # Both sit far inside the MSE < 9 px^2 acceptance gate; "closest"
+    # is the default for accuracy (config.expand_correspondence_mode).
+    assert res["epipolar"]["obs"] >= 0.9 * res["closest"]["obs"], res
+    assert res["epipolar"]["p99"] <= 3.0, res
+    assert res["closest"]["p99"] <= res["epipolar"]["p99"] + 0.25, res
+
+
+def _half_hidden_scene(n_cams=6, width=640, height=480):
+    """One long 3D curve fully visible in views 3..5 but ERASED past its
+    midpoint in views 0..2 — the reference's chain-extension case: a
+    walk driven by a low-id tuple stops at the erased views' polyline
+    end, and only following with the EXPANDED view set (3..5) can
+    reconstruct the far half (plg_matching.cpp:1393-1412)."""
+    sfmd = synthetic.ring_cameras(n_cams, width=width, height_px=height,
+                                  focal=700.0)
+    t = np.linspace(-0.85, 0.85, 400)
+    # slope in y and z so the projected curve crosses the ring
+    # cameras' epipolar lines at healthy angles (a flat horizontal
+    # curve is quasi-parallel to them and kills every walk early)
+    curve = np.stack([t, 0.25 * np.sin(2.0 * t + 0.5), 0.15 + 0.3 * t],
+                     axis=1)
+    ref = curve[t < -0.05][::15]
+    xy, front = synthetic.project_points(sfmd, ref)
+    inb = synthetic.in_image(sfmd, xy, margin=1.0)
+    vis = front & inb
+    obs_cam, obs_xy, keep = [], [], []
+    for p in range(len(ref)):
+        cams = np.flatnonzero(vis[:, p])
+        if len(cams) >= 3:
+            obs_cam.append(cams.astype(np.int32))
+            obs_xy.append(xy[cams, p])
+            keep.append(p)
+    sfmd.points = ref[keep]
+    sfmd.obs_cam = obs_cam
+    sfmd.obs_xy = obs_xy
+    imgs = synthetic.render_edge_images(sfmd, [curve])
+    hidden = curve[t > 0.0]
+    hxy, hfront = synthetic.project_points(sfmd, hidden)
+    for c in range(3):
+        ij = np.round(hxy[c][hfront[c]]).astype(np.int64)
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                x = np.clip(ij[:, 0] + dx, 0, width - 1)
+                y = np.clip(ij[:, 1] + dy, 0, height - 1)
+                imgs[c, y, x] = 0
+    return sfmd, imgs, curve, t
+
+
+def test_chain_extension_reconstructs_hidden_half():
+    """Without extension the far half (visible only in views 3..5) is
+    unreachable whenever the seed tuple contains an erased view; with
+    extension rounds the chain grows past the erased views' polyline
+    end using the expanded observation set."""
+    sfmd, imgs, curve, t = _half_hidden_scene()
+
+    def far_coverage(pts):
+        far = curve[t > 0.25]
+        if len(pts.X) == 0:
+            return 0.0
+        d = np.linalg.norm(far[:, None] - pts.X[None], axis=-1).min(axis=1)
+        spacing = np.median(np.linalg.norm(np.diff(far, axis=0), axis=1))
+        return float((d < 4 * spacing).mean())
+
+    cfg0 = CFG.replace(max_extension_rounds=0)
+    pts0, _ = _run_stage3(sfmd, imgs, cfg0)
+    cfg1 = CFG.replace(max_extension_rounds=3)
+    pts1, _ = _run_stage3(sfmd, imgs, cfg1)
+
+    # without extension the chain stops at the erase boundary (x ~ 0);
+    # with it, the walk reaches deep into the hidden half (measured:
+    # xmax -0.086 -> 0.79, far-coverage 0 -> ~0.3 at 10 px emit spacing)
+    assert pts0.X[:, 0].max() < 0.1, "erase boundary not respected"
+    assert pts1.X[:, 0].max() > 0.5, (
+        f"extension did not grow the chain: xmax {pts1.X[:, 0].max()}")
+    c0, c1 = far_coverage(pts0), far_coverage(pts1)
+    assert c1 > c0 + 0.15, f"far coverage {c0} -> {c1}"
+    # grafted points continue their parent chains (orders stay unique)
+    for s in np.unique(pts1.seed_id):
+        rows = pts1.chain_order[pts1.seed_id == s]
+        assert len(np.unique(rows)) == len(rows)
+
+
 def test_monotone_runs():
     """_monotone_runs finds same-polyline monotone stretches."""
     pl = jnp.asarray([[1, 1, 1, 2, 2, 5, 2, 2]], jnp.int32)

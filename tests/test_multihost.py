@@ -82,6 +82,21 @@ res = dict(pid=pid, n_devices=jax.device_count(),
            n_ok=int(ok_all.sum()),
            ba_mse=float(np.asarray(mses)[-1]),
            x_sum=float(np.abs(Xr_all).sum()))
+
+# FULL matching pipeline over the 2-process global mesh (VERDICT r2
+# next #4: seed sweep / follow / expansion / host claiming all cross
+# the process boundary; host state stays replicated-deterministic)
+from edgegraph3d_tpu.config import EdgeGraphConfig
+from edgegraph3d_tpu.pipeline import run_pipeline
+cfg = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                max_polyline_len=64,
+                                max_follow_steps=16)
+sfmd2, edge_imgs2, _ = synthetic.make_scene(
+    n_cams=4, n_refpoints_per_curve=8, width=320, height_px=240,
+    focal=400.0, seed=0)
+out = run_pipeline(sfmd2, edge_imgs2, cfg, mesh=mesh)
+res["pipeline_points"] = int(out.n_points)
+res["pipeline_x_sum"] = float(np.abs(out.points).sum())
 with open(out_path, "w") as f:
     json.dump(res, f)
 """
@@ -132,3 +147,22 @@ def test_two_process_distributed_cpu(tmp_path):
     assert r0["ba_mse"] == pytest.approx(r1["ba_mse"], rel=1e-5)
     assert r0["x_sum"] == pytest.approx(r1["x_sum"], rel=1e-5)
     assert r0["ba_mse"] < 1e-3
+    # the full matching pipeline ran across the process boundary and
+    # both processes produced the SAME reconstruction, matching a
+    # single-process run of the identical scene
+    assert r0["pipeline_points"] == r1["pipeline_points"]
+    assert r0["pipeline_x_sum"] == pytest.approx(r1["pipeline_x_sum"],
+                                                 rel=1e-6)
+    from edgegraph3d_tpu.config import EdgeGraphConfig
+    from edgegraph3d_tpu.core import synthetic
+    from edgegraph3d_tpu.pipeline import run_pipeline
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                    max_polyline_len=64,
+                                    max_follow_steps=16)
+    sfmd2, edge_imgs2, _ = synthetic.make_scene(
+        n_cams=4, n_refpoints_per_curve=8, width=320, height_px=240,
+        focal=400.0, seed=0)
+    single = run_pipeline(sfmd2, edge_imgs2, cfg)
+    assert r0["pipeline_points"] == single.n_points > sfmd2.n_points
+    assert r0["pipeline_x_sum"] == pytest.approx(
+        float(np.abs(single.points).sum()), rel=1e-5)

@@ -152,7 +152,7 @@ def test_compacted_expansion_matches_dense():
     cm = jnp.asarray(cams3[gi[:, 0]].astype(np.int32))
 
     Xd, xyd, okd, _ = expansion.expand_chains_sweep(
-        ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.cell,
+        ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.F_table, ctx.cell,
         jnp.asarray(X32[gi]), jnp.asarray(o32[gi]), cm,
         jnp.asarray(vl), cfg)
 
@@ -162,7 +162,7 @@ def test_compacted_expansion_matches_dense():
     K = C * T
     pad_k = K - n_k
     Xc, xyc, okc, _ = expansion.expand_chains_compact(
-        ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.cell,
+        ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.F_table, ctx.cell,
         jnp.asarray(np.pad(X32[rows], ((0, pad_k), (0, 0)))),
         jnp.asarray(np.pad(o32[rows], ((0, pad_k), (0, 0), (0, 0)))),
         cm, jnp.asarray(np.pad((kidx // T).astype(np.int32), (0, pad_k))),

@@ -116,7 +116,10 @@ def test_transform_plgs_roundtrip():
     plg = from_polyline_list([wig, stub], max_polylines=8, max_len=32)
     stack = stack_plgs([plg], max_polylines=8, max_len=32)
     out = transform_plgs(stack)
-    assert out.coords.shape == stack.coords.shape
+    # shapes are data-derived pow2 buckets (stack_plgs): the transform
+    # may SHRINK the L bucket after simplification, never grow past it
+    assert out.coords.shape[:2] == stack.coords.shape[:2]
+    assert out.coords.shape[2] <= stack.coords.shape[2]
     assert int((out.length >= 2).sum()) >= 1
     # simplification shortened the wiggly chain's coord count
     assert int(out.length.max()) <= int(stack.length.max())

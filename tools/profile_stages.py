@@ -34,18 +34,59 @@ def timed(fn, *args, reps=3, **kw):
     return float(np.median(ts)), out
 
 
+# TPU v5e (v5 lite) per-chip peaks used for the roofline: 197 TFLOP/s
+# bf16 MXU, ~98.5 TFLOP/s f32, 819 GB/s HBM.  This engine is f32
+# gather/elementwise-dominated, so HBM utilization is the meaningful
+# roofline axis; MFU is reported against the f32 MXU peak.
+PEAK_F32_FLOPS = 98.5e12
+PEAK_HBM_BPS = 819e9
+
+
+def xla_cost(jitted, *args, **kw):
+    """(flops, bytes_accessed) from XLA's compiled cost analysis."""
+    try:
+        ca = jitted.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+    except Exception as ex:  # noqa: BLE001 - report, don't die
+        print(f"cost_analysis failed: {ex}", file=sys.stderr)
+        return 0.0, 0.0
+
+
+def roofline(name, t, flops, nbytes, backend):
+    """One PROFILE.md line with flops/bytes/MFU/HBM utilization."""
+    if flops <= 0 and nbytes <= 0:
+        return f"- {name}: {t * 1e3:.0f} ms (no cost analysis)"
+    mfu = flops / max(t, 1e-12) / PEAK_F32_FLOPS
+    bw = nbytes / max(t, 1e-12) / PEAK_HBM_BPS
+    note = "" if backend != "cpu" else " [CPU timing; TPU peaks]"
+    return (f"- {name}: {t * 1e3:.0f} ms, {flops / 1e9:.2f} GFLOP, "
+            f"{nbytes / 1e6:.1f} MB accessed, "
+            f"arith intensity {flops / max(nbytes, 1):.1f} flop/B, "
+            f"MFU {mfu * 100:.2f}%, HBM {bw * 100:.1f}%{note}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--trace", action="store_true",
                     help="dump a jax.profiler trace to /tmp/eg3d_trace")
+    ap.add_argument("--probe-scalar-fetch", action="store_true",
+                    help="measure the pathological 0-d device->host "
+                    "fetch (can hang for minutes on the tunnel)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
     import jax.numpy as jnp
+    if args.cpu:
+        # the site hook pins JAX_PLATFORMS=axon; the env var alone is
+        # not enough (see .claude/skills/verify/SKILL.md gotchas)
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -61,9 +102,8 @@ def main():
     from edgegraph3d_tpu.pipeline import PipelineStats, run_pipeline
     from edgegraph3d_tpu.plgs.extraction import extract_plgs
 
-    cfg = EdgeGraphConfig().replace(max_polylines_per_view=2048,
-                                    max_polyline_len=256,
-                                    max_follow_steps=128)
+    # audited defaults = the bench configuration (bench.py run())
+    cfg = EdgeGraphConfig().replace(max_follow_steps=128)
     sfmd, edge_imgs, curves = build_workload(args.views, 1600, 1200, 48)
 
     # warmup everything through the pipeline once
@@ -72,7 +112,12 @@ def main():
     print(f"warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     lines = ["# Stage profile (dtu-scale synthetic, "
-             f"{args.views} views, backend={jax.default_backend()})", ""]
+             f"{args.views} views, backend={jax.default_backend()})", "",
+             "flops / bytes come from XLA `cost_analysis()` on the "
+             "compiled module; `while_loop` bodies (the follow walk, "
+             "GN iterations) are counted ONCE, so those rows are "
+             "lower bounds on work and upper bounds on per-iteration "
+             "MFU.  Peaks: v5e f32 98.5 TFLOP/s, HBM 819 GB/s.", ""]
 
     # ---- transfer latency floor
     one = jnp.zeros((8,), jnp.float32) + 1
@@ -84,6 +129,19 @@ def main():
     t, _ = timed(lambda: np.asarray(big), reps=3)
     lines.append(f"- device->host 4 MB: {t * 1e3:.1f} ms "
                  f"({4.0 / max(t, 1e-9):.0f} MB/s)")
+    if args.probe_scalar_fetch:
+        # the tunnel's 0-d literal fetch is pathological (measured 190 s
+        # contended / 600+ s isolated on 2026-08-21); the engine never
+        # fetches 0-d values (ops/compaction.py host_count) — this probe
+        # documents WHY.  Off by default: it can hang for minutes.
+        s0 = jnp.sum(one)
+        jax.block_until_ready(s0)
+        t, _ = timed(lambda: float(s0), reps=1)
+        lines.append(f"- device->host 0-d scalar fetch (float()): "
+                     f"{t:.3f} s  <- why host_count() exists")
+        t, _ = timed(lambda: int(np.asarray(jnp.reshape(s0, (1,)))[0]),
+                     reps=3)
+        lines.append(f"- same value as [1]-array fetch: {t * 1e3:.1f} ms")
 
     # ---- extraction
     t, stack = timed(extract_plgs, edge_imgs, cfg)
@@ -104,17 +162,31 @@ def main():
     sm = jnp.asarray(np.pad(sm_np[:chunkN],
                             ((0, max(0, chunkN - N)), (0, 0))))
     M = cfg.max_candidates_per_view
-    t, out = timed(rp._seed_sweep, ctx.plg_coords, ctx.plg_length,
-                   ctx.grids, ctx.P_mats, ctx.F_table, ctx.cell,
-                   ox, om, sm, M, cfg)
+    backend = jax.default_backend()
     n_chunks = -(-N // chunkN)
-    lines.append(f"- _seed_sweep device compute (256-refpoint chunk): "
-                 f"{t * 1e3:.0f} ms x {n_chunks} chunks")
-    t, packed = timed(rp._pack_seed_outputs, out, 8 * chunkN)
-    lines.append(f"- _pack_seed_outputs: {t * 1e3:.1f} ms")
+    # production path = the compacted two-kernel sweep
+    cap_s = min(4 * chunkN, chunkN * obs_mask.shape[1] * M)
+    t, (sbuf, ns) = timed(rp._start_sweep, ctx.plg_coords, ctx.grids,
+                          ctx.cell, ox, sm,
+                          cfg.detection_starting_dist_px, M, cap_s)
+    fl, by = xla_cost(rp._start_sweep, ctx.plg_coords, ctx.grids,
+                      ctx.cell, ox, sm, cfg.detection_starting_dist_px,
+                      M, cap_s)
+    lines.append(roofline(
+        f"_start_sweep (256-refpoint chunk x {n_chunks})", t, fl, by,
+        backend))
+    t, (buf, n) = timed(rp._seed_from_starts, ctx.plg_coords,
+                        ctx.plg_length, ctx.grids, ctx.P_mats,
+                        ctx.F_table, ctx.cell, sbuf, ns, ox, om, M, cfg,
+                        cap_s)
+    fl, by = xla_cost(rp._seed_from_starts, ctx.plg_coords,
+                      ctx.plg_length, ctx.grids, ctx.P_mats, ctx.F_table,
+                      ctx.cell, sbuf, ns, ox, om, M, cfg, cap_s)
+    lines.append(roofline(
+        f"_seed_from_starts (x {n_chunks})", t, fl, by, backend))
     from edgegraph3d_tpu.ops.compaction import to_host
-    t, _ = timed(lambda: to_host(*rp._pack_seed_outputs(out, 8 * chunkN)))
-    lines.append(f"- pack+to_host (sync n + slice transfer): {t * 1e3:.1f} ms")
+    t, _ = timed(lambda: to_host(buf, n))
+    lines.append(f"- to_host (count sync + slice transfer): {t * 1e3:.1f} ms")
 
     # ---- full phase A wall
     t0 = time.time()
@@ -141,8 +213,16 @@ def main():
     t, fb = timed(following.follow_seeds_bidirectional, seeds,
                   ctx.plg_coords, ctx.plg_length, ctx.P_mats,
                   ctx.F_table, cfg, cfg.max_follow_steps)
-    lines.append(f"- follow_seeds_bidirectional device compute "
-                 f"(2048-seed chunk): {t * 1e3:.0f} ms")
+    both = following.SeedTuple(*[jnp.concatenate([a, a], axis=0)
+                                 for a in seeds])
+    drive = jnp.concatenate([jnp.full((seed_chunk,), 1, jnp.int32),
+                             jnp.full((seed_chunk,), -1, jnp.int32)])
+    fl, by = xla_cost(following.follow_seeds, both, ctx.plg_coords,
+                      ctx.plg_length, ctx.P_mats, ctx.F_table, drive,
+                      cfg, cfg.max_follow_steps)
+    lines.append(roofline(
+        "follow_seeds_bidirectional (2048-seed chunk)", t, fl, by,
+        jax.default_backend()))
     fwd, bwd, _ = fb
     t, pk = timed(following.pack_follow_outputs, fwd, bwd, seeds.valid,
                   cfg.new_point_min_steps, 32 * seed_chunk)
@@ -165,14 +245,31 @@ def main():
     gi = np.pad(gather[:256], ((0, max(0, 256 - C)), (0, 0)))
     vl = np.pad(vld[:256], ((0, max(0, 256 - C)), (0, 0)))
     X32 = np.asarray(X, np.float32)
-    t, _ = timed(expansion.expand_chains_sweep, ctx.plg_coords, ctx.grids,
-                 ctx.P_mats, ctx.cell, jnp.asarray(X32[gi]),
-                 jnp.asarray(np.asarray(obs3, np.float32)[gi]),
-                 jnp.asarray(cams3[gi[:, 0]].astype(np.int32)),
-                 jnp.asarray(vl), cfg)
+    # production path = the compacted kernel
+    kidx = np.flatnonzero(vl.reshape(-1))
+    rows_f = gi.reshape(-1)[kidx]
+    K = 256 * 64 // 4
+    if len(kidx) > K:
+        K = 256 * 64
+    pad_k = K - len(kidx)
+    exp_args = (ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.F_table,
+                ctx.cell,
+                jnp.asarray(np.pad(X32[rows_f], ((0, pad_k), (0, 0)))),
+                jnp.asarray(np.pad(np.asarray(obs3, np.float32)[rows_f],
+                                   ((0, pad_k), (0, 0), (0, 0)))),
+                jnp.asarray(cams3[gi[:, 0]].astype(np.int32)),
+                jnp.asarray(np.pad((kidx // 64).astype(np.int32),
+                                   (0, pad_k), constant_values=256)),
+                jnp.asarray(np.pad((kidx % 64).astype(np.int32),
+                                   (0, pad_k), constant_values=64)),
+                jnp.asarray(np.arange(K) < len(kidx)), jnp.asarray(vl),
+                cfg, 256, 64)
+    t, _ = timed(expansion.expand_chains_compact, *exp_args)
+    fl, by = xla_cost(expansion.expand_chains_compact, *exp_args)
     nC = -(-C // 256)
-    lines.append(f"- expand_chains_sweep device compute (256-chain chunk): "
-                 f"{t * 1e3:.0f} ms x {nC} chunks")
+    lines.append(roofline(
+        f"expand_chains_compact (256-chain chunk x {nC})", t, fl, by,
+        jax.default_backend()))
     t0 = time.time()
     pts = rp.expand_and_assemble(ctx, *res)
     lines.append(f"- expand_and_assemble total (phase C): "
