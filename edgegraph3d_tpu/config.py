@@ -159,6 +159,12 @@ class EdgeGraphConfig:
     grid_cell_capacity: int = 8
     #: per-refpoint candidate intersections per view
     max_candidates_per_view: int = 4
+    #: stage-1 similarity graph: close polylines kept per (refpoint,
+    #: view).  The reference's close set is unbounded
+    #: (polyline_matcher.cpp:244-278); tests/test_polyline_stages.py
+    #: measures the cap's effect — edge counts saturate by 8 on a
+    #: cluttered scene (round-2's 4 measurably truncated them).
+    similarity_close_cap: int = 8
 
     # ---- numerics -------------------------------------------------------
     #: compute dtype for geometry kernels on device. f32 + normalized

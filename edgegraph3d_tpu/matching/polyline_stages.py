@@ -172,9 +172,10 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     Faithful semantics, vectorized on host (no per-refpoint Python
     loops):
       * node = (view, polyline) close (<= 10 px) to a refpoint's
-        projection on a viewing cam (top max_candidates_per_view
-        distinct polylines per view approximate the reference's
-        unbounded close set)
+        projection on a viewing cam (top similarity_close_cap distinct
+        polylines per view; the reference's close set is unbounded, and
+        the cap's saturation is measured by
+        tests/test_polyline_stages.py::test_similarity_close_cap_saturates)
       * refpoint weight = non_empty_views / total_close_polylines
         (compute_refpoint_weight, :191-199)
       * edge weight = visibility-restricted weighted Jaccard
@@ -186,7 +187,7 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     """
     cfg = ctx.config
     obs_xy, obs_mask = dense_observations(sfmd)
-    M = cfg.max_candidates_per_view
+    M = cfg.similarity_close_cap
     cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
                             jnp.asarray(obs_xy), M,
                             cfg.find_within_dist_px)

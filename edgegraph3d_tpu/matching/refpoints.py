@@ -506,9 +506,14 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
     """Phase A: form + host-compact seeds for all refpoints."""
     cfg = ctx.config
     M = cfg.max_candidates_per_view
-    refpoint_chunk = -(-refpoint_chunk // ctx.n_shards) * ctx.n_shards
     obs_xy, obs_mask = dense_observations(sfmd)
     N = len(obs_xy)
+    # adaptive chunk: one dispatch when the workload fits (each chunk
+    # costs ~4 tunnel round trips at ~40 ms); pow2-bucketed for compile
+    # reuse, capped so huge scenes still stream
+    refpoint_chunk = min(1024, max(refpoint_chunk,
+                                   1 << max(N - 1, 1).bit_length()))
+    refpoint_chunk = -(-refpoint_chunk // ctx.n_shards) * ctx.n_shards
     start_mask = obs_mask.copy()
     if max_starting_views is not None:
         cum = np.cumsum(obs_mask, axis=1)
@@ -618,8 +623,11 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
 
     Returns (X, obs3, cams3, refs, seed_ids, orders) or None."""
     cfg = ctx.config
-    seed_chunk = -(-seed_chunk // ctx.n_shards) * ctx.n_shards
     S = len(seed_ref)
+    # adaptive chunk (see compute_seeds): fewer dispatches, pow2 shapes
+    seed_chunk = min(4096, max(seed_chunk,
+                               1 << max(S - 1, 1).bit_length()))
+    seed_chunk = -(-seed_chunk // ctx.n_shards) * ctx.n_shards
 
     all_X, all_obs3, all_cams3, all_ref = [], [], [], []
     all_seed, all_order = [], []
@@ -828,7 +836,9 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
     X_out = np.asarray(X, np.float64).copy()
     X32 = np.asarray(X, np.float32)
     obs3_32 = np.asarray(obs3, np.float32)
-    chunk = -(-256 // ctx.n_shards) * ctx.n_shards
+    # adaptive chunk (see compute_seeds): fewer dispatches, pow2 shapes
+    chunk = min(1024, max(256, 1 << max(C - 1, 1).bit_length()))
+    chunk = -(-chunk // ctx.n_shards) * ctx.n_shards
     for lo in range(0, C, chunk):
         hi = min(lo + chunk, C)
         pad = chunk - (hi - lo)

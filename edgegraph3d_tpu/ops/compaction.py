@@ -63,21 +63,37 @@ def host_count(n) -> int:
     return int(fetch_global(jnp.reshape(n, (1,)))[0])
 
 
+@partial(jax.jit, static_argnames=("g",))
+def _head_with_count(buf, n, g: int):
+    """[1 + g, D] device array: row 0 carries the count, rows 1..g the
+    buffer prefix — ONE transfer covers both when n <= g."""
+    row0 = jnp.broadcast_to(
+        jnp.reshape(n, (1, 1)).astype(buf.dtype), (1, buf.shape[1]))
+    return jnp.concatenate([row0, buf[:g]], axis=0)
+
+
 def to_host(buf, n) -> "tuple":
-    """Transfer the packed prefix only: one tiny sync for `n`, then a
-    single device slice whose length is BUCKETED to the next power of
-    two — a slice of the exact dynamic `n` would compile a fresh tiny
-    executable per distinct value (~0.5 s each on the tunneled TPU);
-    bucketing keeps the slice-program count at O(log cap), all warm
-    after the first pass."""
+    """Transfer the packed prefix with as few round trips as possible.
+
+    One fused fetch carries the count AND the first quarter of the
+    buffer (counts are exact in f32 below 2^24; caps are sized ~4x the
+    typical fill, so one round trip is the common case).  Only an
+    over-full buffer pays a second, bucketed fetch.  Each round trip
+    costs ~40 ms through the TPU tunnel — this is the transfer-count
+    optimization, not a bandwidth one."""
     import numpy as np
-    n = host_count(n)
-    if n == 0:
-        return np.zeros((0, buf.shape[-1]), buf.dtype), 0
     cap = buf.shape[0]
     if not getattr(buf, "is_fully_addressable", True):
         # cross-process shards: gather whole (slicing a global array at
         # a non-shard-aligned bound would reshard anyway)
+        n = host_count(n)
         return fetch_global(buf)[: min(n, cap)], n
+    g = max(cap // 4, 1)
+    head = np.asarray(_head_with_count(buf, n, g))
+    n = int(head[0, 0])
+    if n == 0:
+        return np.zeros((0, buf.shape[-1]), buf.dtype), 0
+    if n <= g:
+        return head[1: 1 + n], n
     b = min(1 << (max(n, 1) - 1).bit_length(), cap)
     return np.asarray(buf[:b])[: min(n, cap)], n

@@ -17,20 +17,34 @@ replicated, and there is NO cross-device traffic inside a sweep — each
 device's early-exit `while_loop` terminates independently.  Claim /
 dedup merging (the reference's single `omp_lock`) happens on host
 between chunked sweeps in deterministic seed order.
+
+Every wrapper builds its `shard_map` ONCE per (mesh, static params) and
+wraps it in `jax.jit` (module-level cache): a bare shard_map called
+eagerly re-traces and re-lowers on EVERY chunk call, which round-2's
+scaling probe measured as a ~20x per-dispatch tax.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from edgegraph3d_tpu.ops import ba as ba_ops
 from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
 from edgegraph3d_tpu.parallel.mesh import SHARD_AXIS
+
+#: (wrapper name, hashable params) -> jitted shard_map
+_FN_CACHE: dict = {}
+
+
+def _cached(key, build):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _FN_CACHE[key] = fn
+    return fn
 
 
 def distributed_ba_step(mesh, state: ba_ops.BAState, obs_cam, obs_xy,
@@ -41,28 +55,31 @@ def distributed_ba_step(mesh, state: ba_ops.BAState, obs_cam, obs_xy,
     Returns (new_state with sharded X, mean squared residual).
     """
 
-    def local(X, obs_cam, obs_xy, obs_mask, K, R, t):
-        st = ba_ops.BAState(K=K, R=R, t=t, X=X)
-        S, rhs, Hxx_inv, gx, Hxc, onehot, resid_sq, n_obs = \
-            ba_ops.ba_schur_local(st, obs_cam, obs_xy, obs_mask, damping)
-        # the only cross-device communication: psum of the per-view
-        # Hessian blocks, rhs, and residual stats over ICI
-        S = jax.lax.psum(S, SHARD_AXIS)
-        rhs = jax.lax.psum(rhs, SHARD_AXIS)
-        resid_sq = jax.lax.psum(resid_sq, SHARD_AXIS)
-        n_obs = jax.lax.psum(n_obs, SHARD_AXIS)
-        new_state, dc, dx = ba_ops.ba_apply(st, S, rhs, Hxx_inv, gx, Hxc,
-                                            onehot, damping)
-        return (new_state.R, new_state.t, new_state.X,
-                resid_sq / jnp.maximum(n_obs, 1))
+    def build():
+        def local(X, obs_cam, obs_xy, obs_mask, K, R, t):
+            st = ba_ops.BAState(K=K, R=R, t=t, X=X)
+            S, rhs, Hxx_inv, gx, Hxc, onehot, resid_sq, n_obs = \
+                ba_ops.ba_schur_local(st, obs_cam, obs_xy, obs_mask,
+                                      damping)
+            # the only cross-device communication: psum of the per-view
+            # Hessian blocks, rhs, and residual stats over ICI
+            S = jax.lax.psum(S, SHARD_AXIS)
+            rhs = jax.lax.psum(rhs, SHARD_AXIS)
+            resid_sq = jax.lax.psum(resid_sq, SHARD_AXIS)
+            n_obs = jax.lax.psum(n_obs, SHARD_AXIS)
+            new_state, dc, dx = ba_ops.ba_apply(
+                st, S, rhs, Hxx_inv, gx, Hxc, onehot, damping)
+            return (new_state.R, new_state.t, new_state.X,
+                    resid_sq / jnp.maximum(n_obs, 1))
 
-    sh = P(SHARD_AXIS)
-    rep = P()
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(sh, sh, sh, sh, rep, rep, rep),
-        out_specs=(rep, rep, sh, rep),
-        check_vma=False)
+        sh = P(SHARD_AXIS)
+        rep = P()
+        return shard_map(local, mesh=mesh,
+                         in_specs=(sh, sh, sh, sh, rep, rep, rep),
+                         out_specs=(rep, rep, sh, rep),
+                         check_vma=False)
+
+    fn = _cached(("ba_step", mesh, float(damping)), build)
     R, t, X, mse = fn(state.X, obs_cam, obs_xy, obs_mask,
                       state.K, state.R, state.t)
     return ba_ops.BAState(K=state.K, R=R, t=t, X=X), mse
@@ -72,28 +89,32 @@ def distributed_ba(mesh, state, obs_cam, obs_xy, obs_mask,
                    n_steps: int = 10, damping: float = 1e-4):
     """n_steps of distributed LM (jit once, scan inside)."""
 
-    @jax.jit
-    def run(state, obs_cam, obs_xy, obs_mask):
-        def body(st, _):
-            st2, mse = distributed_ba_step(mesh, st, obs_cam, obs_xy,
-                                           obs_mask, damping)
-            return st2, mse
-        return jax.lax.scan(body, state, None, length=n_steps)
+    def build():
+        def run(state, obs_cam, obs_xy, obs_mask):
+            def body(st, _):
+                st2, mse = distributed_ba_step(mesh, st, obs_cam, obs_xy,
+                                               obs_mask, damping)
+                return st2, mse
+            return jax.lax.scan(body, state, None, length=n_steps)
+        return run
 
-    return run(state, obs_cam, obs_xy, obs_mask)
+    fn = _cached(("ba", mesh, n_steps, float(damping)), build)
+    return fn(state, obs_cam, obs_xy, obs_mask)
 
 
 def sharded_gauss_newton(mesh, P_obs, xy, mask, X0, **kw):
     """Per-point GN with the point axis sharded (no collectives)."""
-    sh = P(SHARD_AXIS)
 
-    def local(P_obs, xy, mask, X0):
-        return gauss_newton_batched(P_obs, xy, mask, X0, **kw)
+    def build():
+        sh = P(SHARD_AXIS)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, sh, sh, sh),
-                   out_specs=(sh, sh, sh),
-                   check_vma=False)
+        def local(P_obs, xy, mask, X0):
+            return gauss_newton_batched(P_obs, xy, mask, X0, **kw)
+
+        return shard_map(local, mesh=mesh, in_specs=(sh, sh, sh, sh),
+                         out_specs=(sh, sh, sh), check_vma=False)
+
+    fn = _cached(("gn", mesh, tuple(sorted(kw.items()))), build)
     return fn(P_obs, xy, mask, X0)
 
 
@@ -114,17 +135,21 @@ def sharded_start_sweep(mesh, plg_coords, grids, cell, obs_xy,
     n [D]) in device-block order = global refpoint order."""
     from edgegraph3d_tpu.matching import refpoints as refpoints_mod
 
-    sh = P(SHARD_AXIS)
-    rep = P()
+    def build():
+        sh = P(SHARD_AXIS)
+        rep = P()
 
-    def local(obs_xy, start_mask, plg_coords, grids):
-        buf, n = refpoints_mod._start_sweep(
-            plg_coords, grids, cell, obs_xy, start_mask, starting_dist,
-            M, cap_dev)
-        return buf, n[None]
+        def local(obs_xy, start_mask, plg_coords, grids):
+            buf, n = refpoints_mod._start_sweep(
+                plg_coords, grids, cell, obs_xy, start_mask,
+                starting_dist, M, cap_dev)
+            return buf, n[None]
 
-    fn = shard_map(local, mesh=mesh, in_specs=(sh, sh, rep, rep),
-                   out_specs=(sh, sh), check_vma=False)
+        return shard_map(local, mesh=mesh, in_specs=(sh, sh, rep, rep),
+                         out_specs=(sh, sh), check_vma=False)
+
+    fn = _cached(("start", mesh, float(cell), float(starting_dist), M,
+                  cap_dev), build)
     return fn(obs_xy, start_mask, plg_coords, grids)
 
 
@@ -138,19 +163,24 @@ def sharded_seed_from_starts(mesh, plg_coords, plg_length, grids, P_mats,
     the block offset.  Returns (buf [D*cap_dev, 22], n [D])."""
     from edgegraph3d_tpu.matching import refpoints as refpoints_mod
 
-    sh = P(SHARD_AXIS)
-    rep = P()
+    def build():
+        sh = P(SHARD_AXIS)
+        rep = P()
 
-    def local(starts_buf, n_starts, obs_xy, obs_mask, plg_coords,
-              plg_length, grids, P_mats, F_table):
-        buf, n = refpoints_mod._seed_from_starts(
-            plg_coords, plg_length, grids, P_mats, F_table, cell,
-            starts_buf, n_starts[0], obs_xy, obs_mask, M, cfg, cap_dev)
-        return buf, n[None]
+        def local(starts_buf, n_starts, obs_xy, obs_mask, plg_coords,
+                  plg_length, grids, P_mats, F_table):
+            buf, n = refpoints_mod._seed_from_starts(
+                plg_coords, plg_length, grids, P_mats, F_table, cell,
+                starts_buf, n_starts[0], obs_xy, obs_mask, M, cfg,
+                cap_dev)
+            return buf, n[None]
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, sh, sh, sh, rep, rep, rep, rep, rep),
-                   out_specs=(sh, sh), check_vma=False)
+        return shard_map(local, mesh=mesh,
+                         in_specs=(sh, sh, sh, sh, rep, rep, rep, rep,
+                                   rep),
+                         out_specs=(sh, sh), check_vma=False)
+
+    fn = _cached(("seed", mesh, float(cell), M, cfg, cap_dev), build)
     return fn(starts_buf, n_starts, obs_xy, obs_mask, plg_coords,
               plg_length, grids, P_mats, F_table)
 
@@ -165,17 +195,20 @@ def sharded_follow_bidirectional(mesh, seeds, plg_coords, plg_length,
     (plg_matching.cpp:765-795)."""
     from edgegraph3d_tpu.matching import following
 
-    sh = P(SHARD_AXIS)
-    rep = P()
+    def build():
+        sh = P(SHARD_AXIS)
+        rep = P()
 
-    def local(seeds, plg_coords, plg_length, P_mats, F_table):
-        return following.follow_seeds_bidirectional(
-            seeds, plg_coords, plg_length, P_mats, F_table, cfg,
-            max_steps)
+        def local(seeds, plg_coords, plg_length, P_mats, F_table):
+            return following.follow_seeds_bidirectional(
+                seeds, plg_coords, plg_length, P_mats, F_table, cfg,
+                max_steps)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, rep, rep, rep, rep),
-                   out_specs=sh, check_vma=False)
+        return shard_map(local, mesh=mesh,
+                         in_specs=(sh, rep, rep, rep, rep),
+                         out_specs=sh, check_vma=False)
+
+    fn = _cached(("followb", mesh, cfg, max_steps), build)
     return fn(seeds, plg_coords, plg_length, P_mats, F_table)
 
 
@@ -183,25 +216,25 @@ def sharded_follow_fixed(mesh, seeds, plg_coords, plg_length, P_mats,
                          F_table, cfg, max_steps: int, perm, dirs):
     """Direction-pinned continuation sweep with the seed axis sharded
     (chains that hit max_steps resume from their final position)."""
-    import jax.numpy as jnp
-
     from edgegraph3d_tpu.matching import following
 
-    sh = P(SHARD_AXIS)
-    rep = P()
+    def build():
+        sh = P(SHARD_AXIS)
+        rep = P()
 
-    def local(seeds, perm, dirs, plg_coords, plg_length, P_mats,
-              F_table):
-        return following.follow_seeds(
-            seeds, plg_coords, plg_length, P_mats, F_table,
-            jnp.int32(1), cfg, max_steps, fixed_perm=perm,
-            fixed_dirs=dirs)
+        def local(seeds, perm, dirs, plg_coords, plg_length, P_mats,
+                  F_table):
+            return following.follow_seeds(
+                seeds, plg_coords, plg_length, P_mats, F_table,
+                jnp.int32(1), cfg, max_steps, fixed_perm=perm,
+                fixed_dirs=dirs)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, sh, sh, rep, rep, rep, rep),
-                   out_specs=sh, check_vma=False)
-    return fn(seeds, perm, dirs, plg_coords, plg_length, P_mats,
-              F_table)
+        return shard_map(local, mesh=mesh,
+                         in_specs=(sh, sh, sh, rep, rep, rep, rep),
+                         out_specs=sh, check_vma=False)
+
+    fn = _cached(("followf", mesh, cfg, max_steps), build)
+    return fn(seeds, perm, dirs, plg_coords, plg_length, P_mats, F_table)
 
 
 def sharded_expand_compact(mesh, plg_coords, grids, P_mats, F_table,
@@ -216,18 +249,21 @@ def sharded_expand_compact(mesh, plg_coords, grids, P_mats, F_table,
     collectives.  Returns (X' [D*K_dev,3], out_xy, out_ok, mse)."""
     from edgegraph3d_tpu.matching import expansion
 
-    sh = P(SHARD_AXIS)
-    rep = P()
+    def build():
+        sh = P(SHARD_AXIS)
+        rep = P()
 
-    def local(X, obs3, cams3, chain_idx, t_idx, item_ok, chain_valid,
-              plg_coords, grids, P_mats, F_table):
-        return expansion.expand_chains_compact(
-            plg_coords, grids, P_mats, F_table, cell, X, obs3, cams3,
-            chain_idx, t_idx, item_ok, chain_valid, cfg, C_dev, T)
+        def local(X, obs3, cams3, chain_idx, t_idx, item_ok, chain_valid,
+                  plg_coords, grids, P_mats, F_table):
+            return expansion.expand_chains_compact(
+                plg_coords, grids, P_mats, F_table, cell, X, obs3, cams3,
+                chain_idx, t_idx, item_ok, chain_valid, cfg, C_dev, T)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(sh, sh, sh, sh, sh, sh, sh, rep, rep, rep,
-                             rep),
-                   out_specs=(sh, sh, sh, sh), check_vma=False)
+        return shard_map(local, mesh=mesh,
+                         in_specs=(sh, sh, sh, sh, sh, sh, sh, rep, rep,
+                                   rep, rep),
+                         out_specs=(sh, sh, sh, sh), check_vma=False)
+
+    fn = _cached(("expand", mesh, float(cell), cfg, C_dev, T), build)
     return fn(X, obs3, cams3, chain_idx, t_idx, item_ok, chain_valid,
               plg_coords, grids, P_mats, F_table)

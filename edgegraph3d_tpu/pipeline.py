@@ -137,6 +137,9 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
     stats.log("chain_extension", t0,
               manager.counters.get("extension_points", 0))
     stats.counters.update(manager.counters)
+    if debug is not None:
+        debug["manager"] = manager
+        debug["edge_points"] = pts
     return pts
 
 
@@ -232,7 +235,10 @@ def run_pipeline(
             groups_stage1=(debug or {}).get("groups1"),
             groups_stage2=(debug or {}).get("groups2"),
             F_table=np.asarray(ctx.F_table),
-            epipolar_refpoints=range(0, min(3, sfmd.n_points)))
+            epipolar_refpoints=range(0, min(3, sfmd.n_points)),
+            manager=(debug or {}).get("manager"),
+            edge_points=(debug or {}).get("edge_points"),
+            P_mats=np.asarray(ctx.P_mats))
         stats.log("debug_images", t0)
     return filtered
 

@@ -26,6 +26,8 @@ TPU-native redesign of the reference's sequential pixel scans
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from edgegraph3d_tpu.config import DEFAULT_CONFIG, EdgeGraphConfig
@@ -698,8 +700,16 @@ def extract_plgs(edge_images: np.ndarray,
                  optimize: bool = True) -> PLGStack:
     """[V,H,W] edge images -> stacked PLGs (parity:
     convert_edge_images_to_optimized_polyline_graphs,
-    convert_edge_images_pixel_to_segment.cpp:885-892)."""
-    plgs = [extract_plg(edge_images[v], config, optimize)
-            for v in range(edge_images.shape[0])]
+    convert_edge_images_pixel_to_segment.cpp:885-892).
+
+    Views are extracted in parallel host threads (the native path
+    releases the GIL around the C++ call) — the equivalent of the
+    reference's OpenMP loop over images."""
+    from concurrent.futures import ThreadPoolExecutor
+    V = edge_images.shape[0]
+    with ThreadPoolExecutor(max_workers=min(V, os.cpu_count() or 1)) as ex:
+        plgs = list(ex.map(
+            lambda v: extract_plg(edge_images[v], config, optimize),
+            range(V)))
     return stack_plgs(plgs, config.max_polylines_per_view,
                       config.max_polyline_len)

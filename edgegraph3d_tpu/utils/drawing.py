@@ -183,13 +183,67 @@ def draw_epipolar_process(sfmd: SfMData, F_table: np.ndarray,
     return base
 
 
+def draw_claimed_intervals(manager, stack: PLGStack, width: int,
+                           height: int) -> np.ndarray:
+    """Claimed-interval overlay: every polyline in dim gray, claimed
+    arc buckets (the MatchesManager raster) in red (parity: the
+    matched-interval state the reference inspects through
+    PLGMatchesManager — the single most diagnostic view of the dedup /
+    suppression machinery, plg_matches_manager.cpp:54-93)."""
+    V = stack.n_views
+    out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    gray = np.asarray([90, 90, 90], np.uint8)
+    red = np.asarray([255, 60, 60], np.uint8)
+    B = manager.B
+    for v in range(V):
+        for p in np.flatnonzero(stack.valid[v]):
+            n = int(stack.length[v, p])
+            c = stack.coords[v, p, :n]
+            _draw_polyline(out[v], c, gray)
+            claimed = manager.raster[v, p]
+            if not claimed.any():
+                continue
+            # map claimed buckets back to coord positions
+            for k in range(n - 1):
+                b0 = int(k * B / max(n - 1, 1))
+                b1 = int((k + 1) * B / max(n - 1, 1))
+                if claimed[b0: max(b1, b0 + 1)].any():
+                    _draw_line(out[v], c[k], c[k + 1], red)
+    return out
+
+
+def draw_chains(pts, P_mats: np.ndarray, width: int,
+                height: int) -> np.ndarray:
+    """Reconstructed 3D chains reprojected per view, one color per
+    seed chain (diagnoses following / continuation / extension: breaks
+    or color changes mid-edge are truncated or duplicated chains)."""
+    V = len(P_mats)
+    out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    if len(pts.X) == 0:
+        return out
+    order = np.lexsort((pts.chain_order, pts.seed_id))
+    Xh = np.concatenate([pts.X, np.ones((len(pts.X), 1))], axis=1)
+    for v in range(V):
+        pr = Xh @ np.asarray(P_mats[v]).T
+        pr = pr[:, :2] / np.maximum(pr[:, 2:3], 1e-9)
+        for a, b in zip(order[:-1], order[1:]):
+            if pts.seed_id[a] != pts.seed_id[b]:
+                continue
+            if not (pts.obs_mask[a, v] and pts.obs_mask[b, v]):
+                continue
+            _draw_line(out[v], pr[a], pr[b], _color(pts.seed_id[a]))
+    return out
+
+
 def save_debug_images(sfmd: SfMData, folder: str,
                       stack: PLGStack | None = None,
                       first_edgepoint: int = 0,
                       rgb_images: np.ndarray | None = None,
                       groups_stage1=None, groups_stage2=None,
                       F_table: np.ndarray | None = None,
-                      epipolar_refpoints=()) -> None:
+                      epipolar_refpoints=(), manager=None,
+                      edge_points=None,
+                      P_mats: np.ndarray | None = None) -> None:
     """Write the full `-i` debug-image suite into `folder`."""
     os.makedirs(folder, exist_ok=True)
     W = int(sfmd.widths.max())
@@ -215,6 +269,11 @@ def save_debug_images(sfmd: SfMData, folder: str,
         save("pmsg", draw_match_sets(groups_stage1, stack, W, H))
     if groups_stage2 and stack is not None:
         save("pmctr", draw_match_sets(groups_stage2, stack, W, H))
+    if manager is not None and stack is not None:
+        save("claimed_intervals",
+             draw_claimed_intervals(manager, stack, W, H))
+    if edge_points is not None and P_mats is not None:
+        save("chains", draw_chains(edge_points, P_mats, W, H))
     if F_table is not None and stack is not None:
         for r in epipolar_refpoints:
             imgs = draw_epipolar_process(sfmd, np.asarray(F_table), r,

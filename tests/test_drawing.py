@@ -55,14 +55,29 @@ def test_draw_match_sets_and_epipolar(tmp_path):
 def test_save_debug_images_full_suite(tmp_path):
     sfmd, edges, _ = _scene()
     stack = extract_plgs(edges, CFG)
+    from edgegraph3d_tpu.matching import matches as mm
     from edgegraph3d_tpu.matching import refpoints as refpoints_mod
     ctx = refpoints_mod.build_context(sfmd, stack, CFG)
+    manager = mm.MatchesManager(np.asarray(ctx.plg_length))
+    pts = refpoints_mod.reconstruct_from_refpoints(
+        sfmd, ctx, max_starting_views=1, manager=manager)
     drawing.save_debug_images(
         sfmd, str(tmp_path), stack=stack, rgb_images=edges,
         groups_stage1=[np.asarray([[0, 0], [1, 0]])],
         groups_stage2=[np.asarray([[2, 0], [3, 0]])],
-        F_table=np.asarray(ctx.F_table), epipolar_refpoints=[0])
+        F_table=np.asarray(ctx.F_table), epipolar_refpoints=[0],
+        manager=manager, edge_points=pts,
+        P_mats=np.asarray(ctx.P_mats))
     names = os.listdir(tmp_path)
     for prefix in ("plgs_imgs", "plgs_comp", "output_on_imgs",
-                   "output_on_plgs", "pmsg", "pmctr", "epipolar"):
+                   "output_on_plgs", "pmsg", "pmctr", "epipolar",
+                   "claimed_intervals", "chains"):
         assert any(n.startswith(prefix) for n in names), prefix
+    # the claimed-interval overlay carries actual claims (red pixels)
+    from PIL import Image
+    ci = [n for n in sorted(names) if n.startswith("claimed_intervals")]
+    reds = 0
+    for n in ci:
+        img = np.asarray(Image.open(tmp_path / n))
+        reds += int(((img[..., 0] > 200) & (img[..., 1] < 100)).sum())
+    assert reds > 0, "no claimed arcs rendered"

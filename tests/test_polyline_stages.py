@@ -67,6 +67,28 @@ def test_similarity_match_sets(ctx_scene):
         assert len(np.unique(g[:, 0])) >= 3
 
 
+def test_similarity_close_cap_saturates():
+    """VERDICT r2 next #8: measure the stage-1 close-set cap.  On a
+    cluttered scene (3 curves crossing in image space) the
+    similarity-graph node/edge counts must SATURATE by the default cap
+    — i.e. the cap is no longer binding where round-2's 4 was."""
+    sfmd, edge_imgs, _ = synthetic.make_scene(
+        n_cams=6, curves=("helix", "circle", "parabola"),
+        n_refpoints_per_curve=16, width=320, height_px=240,
+        focal=400.0, seed=2)
+    sizes = {}
+    for cap in (2, 8, 12):
+        cfg = CFG.replace(similarity_close_cap=cap)
+        stack = extraction.extract_plgs(edge_imgs, cfg)
+        ctx = refpoints.build_context(sfmd, stack, cfg)
+        groups = polyline_stages.similarity_match_sets(sfmd, ctx)
+        sizes[cap] = sum(len(g) for g in groups)
+    # a tight cap truncates the close sets; the default has headroom
+    assert sizes[2] <= sizes[8], sizes
+    assert sizes[12] == sizes[8], (
+        f"default similarity_close_cap still binding: {sizes}")
+
+
 def test_match_set_sweep_produces_chains(ctx_scene):
     sfmd, ctx, curves = ctx_scene
     groups = polyline_stages.closeness_match_sets(sfmd, ctx)
