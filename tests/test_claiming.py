@@ -219,3 +219,96 @@ def test_continuation_reconstructs_full_length(long_chain_runs):
     # > max_follow_steps points somewhere
     orders = pts_small.chain_order
     assert (np.abs(orders) > 6).any()
+
+
+# ----------------------------------------------------------------------
+# Device claiming kernel (matching/claiming_device.py)
+# ----------------------------------------------------------------------
+
+MatchesManager = mm.MatchesManager
+
+
+def _random_claim_problem(rng, V=3, P=16, B=64, S=120):
+    import numpy as np
+    lengths = np.full((V, P), 32, np.int32)
+    mm_host = MatchesManager(lengths, buckets=B)
+    mm_dev = MatchesManager(lengths, buckets=B)
+    # pre-claim a few arcs (earlier chunks)
+    for _ in range(5):
+        v, p = rng.integers(0, V), rng.integers(0, P)
+        a, b = sorted(rng.integers(0, B, 2))
+        mm_host.raster[v, p, a:b + 1] = True
+        mm_dev.raster[v, p, a:b + 1] = True
+    success = rng.random(S) < 0.9
+    cams = rng.integers(0, V, (S, 3))
+    pl = rng.integers(0, P, (S, 3))
+    seg = rng.integers(0, 30, (S, 3))
+    t = rng.random((S, 3))
+    # finals near the seed so spans overlap heavily (collision-rich)
+    f_seg = np.clip(seg + rng.integers(-8, 9, (S, 3)), 0, 30)
+    b_seg = np.clip(seg + rng.integers(-8, 9, (S, 3)), 0, 30)
+    f_t = rng.random((S, 3))
+    b_t = rng.random((S, 3))
+    return (mm_host, mm_dev,
+            (success, cams, pl, seg, t, f_seg, f_t, b_seg, b_t))
+
+
+def test_device_claiming_matches_host():
+    """The fixpoint kernel reproduces the host-sequential accept set and
+    final raster BIT-EXACTLY on collision-rich random chunks."""
+    import numpy as np
+
+    from edgegraph3d_tpu.matching import claiming_device
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        mm_host, mm_dev, args = _random_claim_problem(rng)
+        for skip in (False, True):
+            a_host = mm_host.resolve_and_claim(*args,
+                                               skip_start_check=skip)
+            a_dev = claiming_device.apply_device_claiming(
+                mm_dev, *args, skip_start_check=skip)
+            np.testing.assert_array_equal(a_host, a_dev)
+            np.testing.assert_array_equal(mm_host.raster, mm_dev.raster)
+
+
+def test_device_claiming_sharded_matches_host():
+    """Seed axis sharded over an 8-device mesh with the pmin raster
+    merge: same accept set as host-sequential."""
+    import numpy as np
+
+    from edgegraph3d_tpu.matching import claiming_device
+    from edgegraph3d_tpu.parallel import mesh as mesh_mod
+    rng = np.random.default_rng(7)
+    m = mesh_mod.make_mesh(8)
+    mm_host, mm_dev, args = _random_claim_problem(rng, S=96)
+    a_host = mm_host.resolve_and_claim(*args)
+    a_dev = claiming_device.apply_device_claiming(mm_dev, *args, mesh=m)
+    np.testing.assert_array_equal(a_host, a_dev)
+    np.testing.assert_array_equal(mm_host.raster, mm_dev.raster)
+
+
+def test_pipeline_device_claiming_parity(small_scene):
+    """Full stage-3 run with claiming_backend='device' produces the
+    same reconstruction as the host backend."""
+    import numpy as np
+
+    from edgegraph3d_tpu.config import EdgeGraphConfig
+    from edgegraph3d_tpu.matching import refpoints as rp
+    from edgegraph3d_tpu.plgs.extraction import extract_plgs
+    sfmd, edge_imgs, _ = small_scene
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                    max_polyline_len=64,
+                                    max_follow_steps=32)
+    outs = {}
+    for backend in ("host", "device"):
+        c = cfg.replace(claiming_backend=backend)
+        stack = extract_plgs(edge_imgs, c)
+        ctx = rp.build_context(sfmd, stack, c)
+        pts = rp.reconstruct_from_refpoints(sfmd, ctx,
+                                            max_starting_views=2)
+        outs[backend] = pts
+    assert len(outs["host"].X) == len(outs["device"].X) > 0
+    np.testing.assert_allclose(outs["host"].X, outs["device"].X,
+                               atol=1e-6)
+    np.testing.assert_array_equal(outs["host"].obs_mask,
+                                  outs["device"].obs_mask)
