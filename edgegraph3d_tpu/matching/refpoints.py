@@ -570,18 +570,27 @@ def compute_seeds(sfmd: SfMData, ctx: MatchingContext,
             sbuf, ns = _start_sweep(
                 ctx.plg_coords, ctx.grids, ctx.cell, jnp.asarray(ox),
                 jnp.asarray(sm), cfg.detection_starting_dist_px, M, cap_s)
-            from edgegraph3d_tpu.ops.compaction import host_count
-            if host_count(ns) > cap_s:  # dense chunk: full-width recompact
+            from edgegraph3d_tpu.ops.compaction import \
+                to_host_with_extra
+            buf, n = _seed_from_starts(
+                ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+                ctx.F_table, ctx.cell, sbuf, ns, jnp.asarray(ox),
+                jnp.asarray(om), M, cfg, cap_s)
+            # fetch the start count alongside the seed rows; redo both
+            # kernels at full width only on the (counted) overflow
+            rows, n_int, ns_np = to_host_with_extra(
+                buf, n, jnp.reshape(ns, (1,)))
+            if int(ns_np[0]) > cap_s:  # dense chunk: recompact full
                 cap_s = full
                 sbuf, ns = _start_sweep(
                     ctx.plg_coords, ctx.grids, ctx.cell, jnp.asarray(ox),
                     jnp.asarray(sm), cfg.detection_starting_dist_px, M,
                     cap_s)
-            buf, n = _seed_from_starts(
-                ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
-                ctx.F_table, ctx.cell, sbuf, ns, jnp.asarray(ox),
-                jnp.asarray(om), M, cfg, cap_s)
-            rows, n_int = to_host(buf, n)
+                buf, n = _seed_from_starts(
+                    ctx.plg_coords, ctx.plg_length, ctx.grids,
+                    ctx.P_mats, ctx.F_table, ctx.cell, sbuf, ns,
+                    jnp.asarray(ox), jnp.asarray(om), M, cfg, cap_s)
+                rows, n_int = to_host(buf, n)
         if n_int == 0:
             continue
         seeds_acc["cams"].append(rows[:, 0:3].astype(np.int32))
@@ -694,16 +703,16 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
         ms = cfg.new_point_min_steps if min_steps is None else min_steps
         buf, n_emit, meta = following.pack_follow_outputs(
             fwd, bwd, seeds.valid, ms, cap)
-        from edgegraph3d_tpu.ops.compaction import host_count
-        if host_count(n_emit) > cap:
+        from edgegraph3d_tpu.ops.compaction import to_host_with_extra
+        # rows + count + meta in ONE device->host round trip
+        rows, n_int, meta_np = to_host_with_extra(buf, n_emit, meta)
+        if n_int > cap:
             # dense chunk: repack at full width (2 directions x S x T)
             cap = 2 * seed_chunk * cfg.max_follow_steps
             buf, n_emit, meta = following.pack_follow_outputs(
                 fwd, bwd, seeds.valid, ms, cap)
-        from edgegraph3d_tpu.ops.compaction import to_host
-        from edgegraph3d_tpu.ops.compaction import fetch_global
-        rows, _ = to_host(buf, n_emit)
-        return rows, fetch_global(meta)[: len(valid_np)]
+            rows, n_int, meta_np = to_host_with_extra(buf, n_emit, meta)
+        return rows, meta_np[: len(valid_np)]
 
     def queue_continuations(pending, chunk, meta, accept, seed_gid,
                             order_base_f, order_base_b, first_round,
@@ -1111,13 +1120,14 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     cap = 32 * Sp
     buf, n_emit, meta = following.pack_follow_outputs(
         fwd, bwd, seeds.valid, 1, cap)
-    from edgegraph3d_tpu.ops.compaction import host_count, to_host
-    if host_count(n_emit) > cap:
+    from edgegraph3d_tpu.ops.compaction import to_host_with_extra
+    rows, n_int, meta_np = to_host_with_extra(buf, n_emit, meta)
+    if n_int > cap:
         cap = 2 * Sp * cfg.max_follow_steps
         buf, n_emit, meta = following.pack_follow_outputs(
             fwd, bwd, seeds.valid, 1, cap)
-    rows, _ = to_host(buf, n_emit)
-    meta = np.asarray(meta)[:E]
+        rows, n_int, meta_np = to_host_with_extra(buf, n_emit, meta)
+    meta = meta_np[:E]
     if len(rows) == 0:
         return None
 

@@ -72,6 +72,42 @@ def _head_with_count(buf, n, g: int):
     return jnp.concatenate([row0, buf[:g]], axis=0)
 
 
+@partial(jax.jit, static_argnames=("g", "rows_e"))
+def _head_with_count_extra(buf, n, extra, g: int, rows_e: int):
+    """[1 + rows_e + g, D]: count row, then `extra` flattened and
+    padded into D-wide rows, then the buffer prefix — one transfer."""
+    D = buf.shape[1]
+    row0 = jnp.broadcast_to(
+        jnp.reshape(n, (1, 1)).astype(buf.dtype), (1, D))
+    flat = jnp.ravel(extra).astype(buf.dtype)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((rows_e * D - flat.shape[0],), buf.dtype)])
+    return jnp.concatenate([row0, flat.reshape(rows_e, D), buf[:g]],
+                           axis=0)
+
+
+def to_host_with_extra(buf, n, extra):
+    """Like `to_host`, but also returns `extra` (any fixed-shape float
+    tensor) fetched in the SAME device->host transfer — each round trip
+    costs ~40-100 ms through the tunnel regardless of size."""
+    import numpy as np
+    if not getattr(buf, "is_fully_addressable", True):
+        rows, n = to_host(buf, n)
+        return rows, n, fetch_global(extra)
+    cap, D = buf.shape
+    e_shape = tuple(extra.shape)
+    e_count = int(np.prod(e_shape)) if e_shape else 1
+    rows_e = -(-e_count // D)
+    g = max(cap // 4, 1)
+    head = np.asarray(_head_with_count_extra(buf, n, extra, g, rows_e))
+    n = int(head[0, 0])
+    extra_np = head[1: 1 + rows_e].reshape(-1)[:e_count].reshape(e_shape)
+    if n <= g:
+        return head[1 + rows_e: 1 + rows_e + n], n, extra_np
+    b = min(1 << (max(n, 1) - 1).bit_length(), cap)
+    return np.asarray(buf[:b])[: min(n, cap)], n, extra_np
+
+
 def to_host(buf, n) -> "tuple":
     """Transfer the packed prefix with as few round trips as possible.
 

@@ -23,6 +23,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_jit_caches():
+    """Drop compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process; compiling the large sharded shard_map program on top of
+    that state segfaulted inside LLVM twice (at the same suite
+    position, never in isolation).  Bounding the in-process executable
+    count avoids the crash at the cost of some recompiles."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def small_scene():
     from edgegraph3d_tpu.core.synthetic import make_scene

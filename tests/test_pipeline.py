@@ -12,7 +12,7 @@ from edgegraph3d_tpu.core import sfm as sfm_io
 from edgegraph3d_tpu.core import synthetic
 from edgegraph3d_tpu.filtering.density import density_filter
 from edgegraph3d_tpu.filtering.outliers import filter_sfm_data
-from edgegraph3d_tpu.pipeline import run_pipeline
+from edgegraph3d_tpu.pipeline import PipelineStats, run_pipeline
 
 CFG = EdgeGraphConfig().replace(max_polylines_per_view=256,
                                 max_polyline_len=128, max_follow_steps=64)
@@ -135,6 +135,36 @@ def test_cli_end_to_end(scene, tmp_path):
     orig = json.loads((tmp_path / "input.json").read_text())
     assert doc["views"] == orig["views"]
     assert doc["intrinsics"] == orig["intrinsics"]
+
+
+def test_checkpoint_restart(scene, tmp_path):
+    """Failure-recovery story (SURVEY §5): a killed run restarts from
+    the stage-boundary checkpoints — the PLG extraction resumes from
+    plgs.npz and the final output is identical to the uninterrupted
+    run.  before_filtering.json additionally lets filtering re-run
+    offline (the reference's mid-pipeline dump, edge_matcher.cpp:129)."""
+    sfmd, edge_imgs, _ = scene
+    wf = str(tmp_path / "work")
+    out1 = run_pipeline(sfmd, edge_imgs, CFG, working_folder=wf,
+                        max_starting_views=2)
+    assert (tmp_path / "work" / "plgs.npz").exists()
+    assert (tmp_path / "work" / "before_filtering.json").exists()
+    assert (tmp_path / "work" / "outgraph_3d.npz").exists()
+    # "restart": a fresh process would hit the same folder; extraction
+    # must load the checkpoint (CORRUPT the images to prove it is not
+    # re-extracted) and reproduce the identical output
+    stats = PipelineStats()
+    out2 = run_pipeline(sfmd, np.zeros_like(edge_imgs), CFG,
+                        working_folder=wf, max_starting_views=2,
+                        stats=stats)
+    assert out2.n_points == out1.n_points
+    np.testing.assert_allclose(out2.points, out1.points, atol=1e-9)
+    # offline filter re-run from the mid-pipeline checkpoint
+    from edgegraph3d_tpu.filtering.outliers import filter_sfm_data
+    mid = sfm_io.read_sfm_data(str(tmp_path / "work" /
+                                   "before_filtering.json"))
+    refiltered = filter_sfm_data(mid, sfmd.n_points)
+    assert refiltered.n_points == out1.n_points
 
 
 def test_filter_cli(scene, tmp_path):
