@@ -238,7 +238,7 @@ def run_pipeline(
             epipolar_refpoints=range(0, min(3, sfmd.n_points)),
             manager=(debug or {}).get("manager"),
             edge_points=(debug or {}).get("edge_points"),
-            P_mats=np.asarray(ctx.P_mats))
+            P_mats=np.asarray(ctx.P_mats), ctx=ctx)
         stats.log("debug_images", t0)
     return filtered
 

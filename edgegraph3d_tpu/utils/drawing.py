@@ -183,6 +183,75 @@ def draw_epipolar_process(sfmd: SfMData, F_table: np.ndarray,
     return base
 
 
+def draw_detection_process(sfmd: SfMData, ctx, refpoint: int,
+                           width: int, height: int,
+                           stack: PLGStack | None = None) -> np.ndarray:
+    """One refpoint's DETECTED candidates on every viewing cam: starting
+    intersections (yellow crosses inside the 10 px circle) and epipolar
+    correspondence candidates (magenta crosses on the candidates'
+    polylines) — the stage-3 detection state the reference renders with
+    its epipolar-process image family (parity:
+    drawing_utilities.hpp:200-240 detected-intersections variants,
+    fed by PLGEdgeManager::detect_nearby_intersections_and_
+    correspondences_plgp, plg_edge_manager.cpp:261-300)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgegraph3d_tpu.matching import detection
+    cfg = ctx.config
+    V = sfmd.n_cameras
+    base = (draw_plgs(stack, width, height) if stack is not None
+            else np.zeros((V, height, width, 3), dtype=np.uint8))
+    cams = [int(c) for c in sfmd.obs_cam[refpoint]]
+    obs = {int(c): np.asarray(xy) for c, xy in
+           zip(sfmd.obs_cam[refpoint],
+               np.asarray(sfmd.obs_xy[refpoint]).reshape(-1, 2))}
+    yellow = np.asarray([250, 220, 60], np.uint8)
+    magenta = np.asarray([240, 80, 240], np.uint8)
+    white = np.asarray([255, 255, 255], np.uint8)
+    F = np.asarray(ctx.F_table)
+    for v in cams:
+        pt = jnp.asarray(obs[v], jnp.float32)
+        starts = jax.jit(detection.detect_starting_intersections,
+                         static_argnames=("M",))(
+            ctx.grids[v], ctx.plg_coords[v], pt, ctx.cell,
+            cfg.detection_starting_dist_px, 4)
+        s_xy = np.asarray(starts.xy)
+        s_ok = np.asarray(starts.valid)
+        s_dist = np.asarray(starts.dist)
+        for k in np.flatnonzero(s_ok):
+            _draw_cross(base[v], s_xy[k], yellow, r=3)
+            # correspondence candidates on the other cams
+            radius = min(s_dist[k] * cfg.detection_correspondence_factor,
+                         3.0 * cfg.detection_starting_dist_px)
+            xh = np.asarray([s_xy[k][0], s_xy[k][1], 1.0])
+            for u in cams:
+                if u == v:
+                    continue
+                line = F[v, u] @ xh
+                n = np.hypot(line[0], line[1])
+                if n < 1e-12:
+                    continue
+                line = line / n
+                corr = jax.jit(
+                    detection.detect_epipolar_correspondences,
+                    static_argnames=("M",))(
+                    ctx.grids[u], ctx.plg_coords[u],
+                    jnp.asarray(obs[u], jnp.float32),
+                    jnp.asarray(line, jnp.float32), ctx.cell,
+                    jnp.float32(max(radius,
+                                    cfg.detection_starting_dist_px * 0.3)),
+                    4)
+                c_xy = np.asarray(corr.xy)
+                for j in np.flatnonzero(np.asarray(corr.valid)):
+                    _draw_cross(base[u], c_xy[j], magenta, r=2)
+    for v in cams:
+        _draw_cross(base[v], obs[v], white, r=4)
+        _draw_circle(base[v], obs[v], cfg.detection_starting_dist_px,
+                     white)
+    return base
+
+
 def draw_claimed_intervals(manager, stack: PLGStack, width: int,
                            height: int) -> np.ndarray:
     """Claimed-interval overlay: every polyline in dim gray, claimed
@@ -243,7 +312,8 @@ def save_debug_images(sfmd: SfMData, folder: str,
                       F_table: np.ndarray | None = None,
                       epipolar_refpoints=(), manager=None,
                       edge_points=None,
-                      P_mats: np.ndarray | None = None) -> None:
+                      P_mats: np.ndarray | None = None,
+                      ctx=None) -> None:
     """Write the full `-i` debug-image suite into `folder`."""
     os.makedirs(folder, exist_ok=True)
     W = int(sfmd.widths.max())
@@ -281,3 +351,10 @@ def save_debug_images(sfmd: SfMData, folder: str,
             for v, img in enumerate(imgs):
                 Image.fromarray(img).save(os.path.join(
                     folder, f"epipolar_{r:05d}_{v:04d}.png"))
+    if ctx is not None and stack is not None:
+        for r in epipolar_refpoints:
+            imgs = draw_detection_process(sfmd, ctx, r, W, H,
+                                          stack=stack)
+            for v, img in enumerate(imgs):
+                Image.fromarray(img).save(os.path.join(
+                    folder, f"detection_{r:05d}_{v:04d}.png"))

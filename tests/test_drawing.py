@@ -67,11 +67,11 @@ def test_save_debug_images_full_suite(tmp_path):
         groups_stage2=[np.asarray([[2, 0], [3, 0]])],
         F_table=np.asarray(ctx.F_table), epipolar_refpoints=[0],
         manager=manager, edge_points=pts,
-        P_mats=np.asarray(ctx.P_mats))
+        P_mats=np.asarray(ctx.P_mats), ctx=ctx)
     names = os.listdir(tmp_path)
     for prefix in ("plgs_imgs", "plgs_comp", "output_on_imgs",
                    "output_on_plgs", "pmsg", "pmctr", "epipolar",
-                   "claimed_intervals", "chains"):
+                   "claimed_intervals", "chains", "detection"):
         assert any(n.startswith(prefix) for n in names), prefix
     # the claimed-interval overlay carries actual claims (red pixels)
     from PIL import Image
