@@ -91,9 +91,11 @@ def resolve_and_claim_device(owner0, success, index, cams, pl,
         return changed & (i < max_rounds)
 
     accept0 = success
-    accept, _, _ = jax.lax.while_loop(
+    accept, changed, _ = jax.lax.while_loop(
         cond, body, (accept0, jnp.bool_(True), jnp.int32(0)))
-    return accept, claim(accept)
+    # converged iff the loop exited because nothing changed (a True
+    # `changed` at exit means max_rounds truncated the fixpoint)
+    return accept, claim(accept), ~changed
 
 
 def sharded_resolve_and_claim(mesh, owner0, success, index, cams, pl,
@@ -140,13 +142,21 @@ def sharded_resolve_and_claim(mesh, owner0, success, index, cams, pl,
             _, changed, i = carry
             return changed & (i < max_rounds)
 
-        accept, _, _ = jax.lax.while_loop(
+        accept, changed, _ = jax.lax.while_loop(
             cond, body, (success, jnp.bool_(True), jnp.int32(0)))
-        return accept, claim(accept)
+        return accept, claim(accept), ~changed
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(rep, sh, sh, sh, sh, sh, sh),
-                   out_specs=(sh, rep), check_vma=False)
+    # build + jit ONCE per (mesh, statics) — a bare shard_map re-traces
+    # on every chunk call (see parallel/sharded.py module docstring)
+    from edgegraph3d_tpu.parallel.sharded import _cached
+
+    def build():
+        return shard_map(local, mesh=mesh,
+                         in_specs=(rep, sh, sh, sh, sh, sh, sh),
+                         out_specs=(sh, rep, rep), check_vma=False)
+
+    fn = _cached(("claim", mesh, bool(skip_start_check), max_rounds),
+                 build)
     return fn(owner0, success, index, cams, pl, b_start, span_mask)
 
 
@@ -184,6 +194,7 @@ def apply_device_claiming(manager, success, cams, pl, seg, t,
             jnp.asarray(pl.astype(np.int32)),
             jnp.asarray(b_seed[:, 0].astype(np.int32)),
             jnp.asarray(span))
+    from edgegraph3d_tpu.ops.compaction import fetch_global
     if mesh is not None:
         nd = mesh.size
         Sp = -(-S // nd) * nd
@@ -194,17 +205,28 @@ def apply_device_claiming(manager, success, cams, pl, seg, t,
                 np.asarray(a), ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                 constant_values=fill))
         args = tuple(padit(a) for a in args)
-        accept, owner = sharded_resolve_and_claim(
+        accept, owner, converged = sharded_resolve_and_claim(
             mesh, owner0, *args, skip_start_check=skip_start_check)
-        accept = np.asarray(accept)[:S]
+        # accept is sharded over the mesh — gather across processes
+        accept = fetch_global(accept)[:S]
     else:
-        accept, owner = resolve_and_claim_device(
+        accept, owner, converged = resolve_and_claim_device(
             owner0, *args, skip_start_check=skip_start_check)
         accept = np.asarray(accept)
+    if not bool(fetch_global(jnp.reshape(converged, (1,)))[0]):
+        # max_rounds truncated the fixpoint (dependency chains deeper
+        # than 64 alternations) — fall back to the exact host pass so
+        # the accept set never silently diverges from the sequential
+        # semantics; counted for observability
+        manager.counters["device_claiming_fallback"] = \
+            manager.counters.get("device_claiming_fallback", 0) + 1
+        return manager.resolve_and_claim(
+            success, cams, pl, seg, t, fwd_seg, fwd_t, bwd_seg, bwd_t,
+            skip_start_check=skip_start_check)
     # keep the manager raster a NUMPY array (comparing against the jnp
     # INF scalar would promote the result — and the raster — to a jax
     # Array, breaking the host path's in-place span marking)
-    manager.raster |= np.asarray(owner) < np.int32(2 ** 30)
+    manager.raster |= fetch_global(owner) < np.int32(2 ** 30)
     n_skipped = int((np.asarray(success, bool) & ~accept).sum())
     manager.counters["seeds_skipped_claimed"] += n_skipped
     return accept.astype(bool)

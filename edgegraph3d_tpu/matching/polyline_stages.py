@@ -102,20 +102,23 @@ def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
 
 
 def _close_polylines_cached(sfmd, ctx, M: int, within_dist: float):
-    """Per-scene memo: stage 2's close set (M=2) is a PREFIX of stage
-    1's (the top-M lists are nested by construction), so one device
-    sweep serves both stages."""
-    cache = getattr(ctx, "_close_cache", None)
+    """Per-(scene, context) memo: stage 2's close set (M=2) is a PREFIX
+    of stage 1's (the top-M lists are nested by construction), so one
+    device sweep serves both stages.  The cache lives on the SfMData
+    object (like dense_observations') and keys on the context identity
+    so a different scene or rebuilt context never reuses stale
+    candidates."""
+    cache = getattr(sfmd, "_close_polyline_cache", None)
     if cache is None:
         cache = {}
-        object.__setattr__(ctx, "_close_cache", cache)
-    for (n, m2, d), val in cache.items():
-        if n == sfmd.n_points and d == within_dist and m2 >= M:
+        object.__setattr__(sfmd, "_close_polyline_cache", cache)
+    for (ctx_id, m2, d), val in cache.items():
+        if ctx_id == id(ctx) and d == within_dist and m2 >= M:
             return detection.Candidates(*[a[:, :, :M] for a in val])
     obs_xy, _ = dense_observations(sfmd)
     cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
                             jnp.asarray(obs_xy), M, within_dist)
-    cache[(sfmd.n_points, M, within_dist)] = cand
+    cache[(id(ctx), M, within_dist)] = cand
     return cand
 
 
@@ -452,13 +455,14 @@ def seeds_from_match_sets(groups: list[np.ndarray], ctx: MatchingContext,
         # device-side compaction: 2 transfers per chunk (see
         # ops/compaction.py — the tunnel moves ~30 MB/s)
         from edgegraph3d_tpu.matching.refpoints import _pack_seed_outputs
-        from edgegraph3d_tpu.ops.compaction import host_count, to_host
+        from edgegraph3d_tpu.ops.compaction import to_host
         cap = 16 * group_chunk
         buf, n = _pack_seed_outputs(out, cap)
-        if host_count(n) > cap:    # dense chunk: repack at full width
+        rows, n_int = to_host(buf, n)
+        if n_int > cap:    # dense chunk: repack at full width
             buf, n = _pack_seed_outputs(
                 out, int(np.prod(out["valid"].shape)))
-        rows, n_int = to_host(buf, n)
+            rows, n_int = to_host(buf, n)
         if n_int == 0:
             continue
         acc["cams"].append(rows[:, 0:3].astype(np.int32))

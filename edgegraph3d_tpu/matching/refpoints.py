@@ -1150,18 +1150,22 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     if not keep_rows.any():
         return None
 
-    # claim the kept arcs (zero-span finals for the dropped direction)
+    # claim the kept arcs.  The sequential start check runs at the
+    # extension's FAR end (the kept direction's final position): the
+    # chain-end bucket itself may be claimed by the chain's own sweep,
+    # but the territory being extended INTO must be unclaimed — this
+    # dedups extensions that run into arcs already claimed by other
+    # chains or by an earlier end in this same batch (the claimed span,
+    # min/max over {end, far}, is the same either way).
     success = keep_dir.any(axis=1)
-    f_seg = np.where(keep_dir[:, 0:1], meta[:, _M_FSEG].astype(np.int64),
-                     loc[..., 1].astype(np.int64))
-    f_t = np.where(keep_dir[:, 0:1], meta[:, _M_FT], loc[..., 2])
-    b_seg = np.where(keep_dir[:, 1:2], meta[:, _M_BSEG].astype(np.int64),
-                     loc[..., 1].astype(np.int64))
-    b_t = np.where(keep_dir[:, 1:2], meta[:, _M_BT], loc[..., 2])
+    far_seg = np.where(keep_dir[:, 0:1], meta[:, _M_FSEG],
+                       meta[:, _M_BSEG]).astype(np.int64)
+    far_t = np.where(keep_dir[:, 0:1], meta[:, _M_FT], meta[:, _M_BT])
     accept = manager.resolve_and_claim(
         success, tv, loc[..., 0].astype(np.int64),
+        far_seg, far_t,
         loc[..., 1].astype(np.int64), loc[..., 2],
-        f_seg, f_t, b_seg, b_t, skip_start_check=True)
+        far_seg, far_t, skip_start_check=False)
     keep_rows &= accept[sidx]
     if not keep_rows.any():
         return None

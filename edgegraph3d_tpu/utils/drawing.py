@@ -183,6 +183,10 @@ def draw_epipolar_process(sfmd: SfMData, F_table: np.ndarray,
     return base
 
 
+_JIT_STARTS = None
+_JIT_CORR = None
+
+
 def draw_detection_process(sfmd: SfMData, ctx, refpoint: int,
                            width: int, height: int,
                            stack: PLGStack | None = None) -> np.ndarray:
@@ -198,6 +202,14 @@ def draw_detection_process(sfmd: SfMData, ctx, refpoint: int,
     import jax.numpy as jnp
 
     from edgegraph3d_tpu.matching import detection
+    global _JIT_STARTS, _JIT_CORR
+    if _JIT_STARTS is None:
+        # jitted ONCE — a fresh jax.jit wrapper per loop iteration would
+        # retrace O(cams^2 x candidates) times per image suite
+        _JIT_STARTS = jax.jit(detection.detect_starting_intersections,
+                              static_argnames=("M",))
+        _JIT_CORR = jax.jit(detection.detect_epipolar_correspondences,
+                            static_argnames=("M",))
     cfg = ctx.config
     V = sfmd.n_cameras
     base = (draw_plgs(stack, width, height) if stack is not None
@@ -212,8 +224,7 @@ def draw_detection_process(sfmd: SfMData, ctx, refpoint: int,
     F = np.asarray(ctx.F_table)
     for v in cams:
         pt = jnp.asarray(obs[v], jnp.float32)
-        starts = jax.jit(detection.detect_starting_intersections,
-                         static_argnames=("M",))(
+        starts = _JIT_STARTS(
             ctx.grids[v], ctx.plg_coords[v], pt, ctx.cell,
             cfg.detection_starting_dist_px, 4)
         s_xy = np.asarray(starts.xy)
@@ -233,9 +244,7 @@ def draw_detection_process(sfmd: SfMData, ctx, refpoint: int,
                 if n < 1e-12:
                     continue
                 line = line / n
-                corr = jax.jit(
-                    detection.detect_epipolar_correspondences,
-                    static_argnames=("M",))(
+                corr = _JIT_CORR(
                     ctx.grids[u], ctx.plg_coords[u],
                     jnp.asarray(obs[u], jnp.float32),
                     jnp.asarray(line, jnp.float32), ctx.cell,
