@@ -62,11 +62,14 @@ def gauss_newton_filter(sfmd: SfMData, gn_max_mse: float = 2.25,
             jnp.asarray(padded(packed.mask[lo:hi])),
             jnp.asarray(padded(sfmd.points[lo:hi].astype(np.float32))),
             max_iters=max_iters, accept_mse=gn_max_mse, epsilon=epsilon)
-        ok = np.array(ok)[: hi - lo]
-        X = np.array(X)[: hi - lo]
+        # one fused device->host transfer per chunk (round trips cost
+        # ~40-100 ms through the TPU tunnel)
+        packed_out = np.asarray(jnp.concatenate(
+            [X, ok[:, None].astype(X.dtype)], axis=1))[: hi - lo]
+        ok = packed_out[:, 3] > 0.5
         inliers[lo:hi] = ok
         sel = np.flatnonzero(ok)
-        new_pts[lo + sel] = X[sel]
+        new_pts[lo + sel] = packed_out[sel, :3]
     return new_pts, inliers
 
 

@@ -222,18 +222,17 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     n_views = np.any(valid, axis=2).sum(axis=1).astype(np.float64)
     w_ref = np.where(n_close > 0, n_views / np.maximum(n_close, 1), 0.0)
 
-    # node ids (dense reindex of the used (view, polyline) pairs)
+    # node ids (dense reindex of the used (view, polyline) pairs);
+    # `used` is sorted, so searchsorted IS the remap (no Python loops)
     used = np.unique(node[valid])
     if len(used) == 0:
         return []
-    remap = {int(u): i for i, u in enumerate(used)}
     U = len(used)
 
     # per-(node, view) weight sums restricted by visibility:
     # SA[u, v2] = sum of w_ref over refpoints close to u and visible on v2
     nn, vv, mm = np.nonzero(valid)
-    u_idx = np.asarray([remap[int(x)] for x in node[nn, vv, mm]],
-                       dtype=np.int64)
+    u_idx = np.searchsorted(used, node[nn, vv, mm])
     SA = np.zeros((U, V), dtype=np.float64)
     np.add.at(SA, u_idx, w_ref[nn, None] * obs_mask[nn])
 
@@ -264,8 +263,8 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     inter_w = np.bincount(inv, weights=contrib)             # [E]
     ea = (uniq_keys // (V * P_cnt)).astype(np.int64)
     eb = (uniq_keys % (V * P_cnt)).astype(np.int64)
-    ia = np.asarray([remap[int(x)] for x in ea], dtype=np.int64)
-    ib = np.asarray([remap[int(x)] for x in eb], dtype=np.int64)
+    ia = np.searchsorted(used, ea)
+    ib = np.searchsorted(used, eb)
     va = (ea // P_cnt).astype(np.int64)
     vb = (eb // P_cnt).astype(np.int64)
     union_w = SA[ia, vb] + SA[ib, va] - inter_w
@@ -280,8 +279,8 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     comms = comm_mod.communities_from_edges(edges, weights, U, min_size=3)
     out = []
     for c in comms:
-        pairs = np.asarray([[used[i] // P_cnt, used[i] % P_cnt]
-                            for i in c], dtype=np.int64)
+        uc = used[np.asarray(c)]
+        pairs = np.stack([uc // P_cnt, uc % P_cnt], axis=1)
         # need >= 3 distinct views for seeding
         if len(np.unique(pairs[:, 0])) >= 3:
             out.append(pairs)
