@@ -33,13 +33,20 @@ def main(argv=None):
                     metavar="MAXLEN",
                     help="fragment the saved 3D graph at this arc-length "
                     "(polyline_graph_3d.cpp:99-122)")
+    ap.add_argument("--ba-steps", type=int, default=0, metavar="N",
+                    help="joint Schur-LM bundle-adjustment steps over "
+                    "the augmented scene (cameras + points free) before "
+                    "the final filter; 0 disables (new capability over "
+                    "the reference's point-only refinement, "
+                    "gauss_newton.cpp:136-178)")
     args = ap.parse_args(argv)
 
     from edgegraph3d_tpu.config import DEFAULT_CONFIG
     from edgegraph3d_tpu.pipeline import edge_matching
     cfg = DEFAULT_CONFIG.replace(
         output_3d_simplify=args.simplify_3d,
-        output_3d_fragment_maxlen=args.fragment_3d)
+        output_3d_fragment_maxlen=args.fragment_3d,
+        ba_steps=args.ba_steps)
     out = edge_matching(args.images_folder, args.edges_folder,
                         args.working_folder, args.sfm_data_file,
                         args.output_json, config=cfg,

@@ -123,6 +123,44 @@ class EdgeGraphConfig:
     #: correspondence radius = starting_dist * 3, capped at 30 px grid).
     detection_starting_dist_px: float = 10.0
     detection_correspondence_factor: float = 3.0
+    #: DEVIATION: floor on the correspondence radius, as a fraction of
+    #: detection_starting_dist_px.  The reference uses exactly
+    #: `dist * 3` (plg_edge_manager.cpp:176), so a dead-on starting
+    #: intersection (dist ~ 0) searches a zero radius and finds no
+    #: correspondences; the floor keeps exact hits seedable.  0.0
+    #: reproduces the reference precisely.  Measured on the bench
+    #: scene (tests/test_detection_deviations.py): the floor only
+    #: ADDS seeds whose starting intersection is (near-)exact — recall
+    #: strictly >= the reference-exact setting, accuracy unchanged.
+    detection_radius_floor_factor: float = 0.3
+
+    # ---- chain extension (matching/refpoints.py extend_chains) ---------
+    #: DEVIATION KNOBS for the extension stage, which generalizes the
+    #: reference's add-view follow_direction tail
+    #: (plg_matching.cpp:1393-1412) to the expanded view set; the
+    #: reference has no analogous constants because its walks carry
+    #: exact polyline positions end-to-end.
+    #: re-anchor tolerance: an expanded 2D observation (a known
+    #: polyline point, re-located via the grid) must lie within this
+    #: distance of a polyline to anchor an extension walk.
+    extension_reanchor_px: float = 2.0
+    #: consistency gate: a view joins an extension tuple only if the
+    #: chain end reprojects within this residual on it (a marginal
+    #: observation inside the 9 px^2 MSE gate must not steer new
+    #: geometry).  Measured A/B in tests/test_detection_deviations.py.
+    extension_consistency_px: float = 2.0
+
+    # ---- joint bundle adjustment (ops/ba.py) ---------------------------
+    #: optional final joint-refinement stage: Schur-complement
+    #: Levenberg-Marquardt steps over the augmented scene (cameras +
+    #: all points free), run after reconstruction and before the
+    #: outlier filter.  0 disables.  Generalizes the reference's
+    #: per-point-only refinement (gauss_newton.cpp:136-178) to the
+    #: pod-level joint solve (SURVEY §2.10 item 3); the A/B benefit is
+    #: measured in tests/test_ba_pipeline.py and PROFILE.md.
+    ba_steps: int = 0
+    #: LM damping for the joint BA stage.
+    ba_damping: float = 1e-4
 
     # ---- filtering ------------------------------------------------------
     #: final GN filter acceptance (ref: gauss_newton.hpp:18 GN_MAX_MSE 2.25 px^2).
@@ -159,6 +197,16 @@ class EdgeGraphConfig:
     grid_cell_capacity: int = 8
     #: per-refpoint candidate intersections per view
     max_candidates_per_view: int = 4
+    #: stage-1 community method (communities.py): "auto" = exact host
+    #: Louvain on small graphs (<= 20k nodes), LP + modularity merge at
+    #: pod scale; also "louvain" / "lp" / "lp+merge".  Measured against
+    #: the grappolo stand-in in COMMUNITIES.md +
+    #: tests/test_communities.py: on real similarity graphs plain LP
+    #: over-merges (one scene collapses to a single community, stage-1
+    #: recall lost); Louvain matches grappolo's objective exactly
+    #: (ref: driverForGraphClustering_edited.cpp:50-170,
+    #: louvainMultiPhaseRun.cpp).
+    community_method: str = "auto"
     #: stage-1 similarity graph: close polylines kept per (refpoint,
     #: view).  The reference's close set is unbounded
     #: (polyline_matcher.cpp:244-278); tests/test_polyline_stages.py

@@ -16,13 +16,22 @@ from __future__ import annotations
 import numpy as np
 
 
+#: below this point count the exact sequential pass runs; above it the
+#: round-based parallel claim path (same outcome, proven by
+#: tests/test_pipeline.py::test_density_round_path_matches_sequential)
+SEQUENTIAL_MAX_N = 50_000
+
+
 def density_filter(obs_xy: np.ndarray, obs_mask: np.ndarray,
                    width: int, height: int, cell: int = 3,
-                   max_rounds: int = 64) -> np.ndarray:
+                   max_rounds: int = 64,
+                   sequential_threshold: int | None = None) -> np.ndarray:
     """obs_xy [N,V,2], obs_mask [N,V] -> keep [N] bool.
 
     Points are processed in index order (parity: the reference's
     insertion order)."""
+    if sequential_threshold is None:
+        sequential_threshold = SEQUENTIAL_MAX_N
     N, V, _ = obs_xy.shape
     GW = int(np.ceil(width / cell)) + 1
     GH = int(np.ceil(height / cell)) + 1
@@ -33,7 +42,7 @@ def density_filter(obs_xy: np.ndarray, obs_mask: np.ndarray,
     cy = np.clip((obs_xy[..., 1] / cell).astype(np.int64), 0, GH - 1)
     flat = (np.arange(V)[None, :] * (GH * GW) + cy * GW + cx)   # [N,V]
 
-    if N <= 50_000:
+    if N <= sequential_threshold:
         # plain sequential pass — BY DEFINITION the semantics being
         # reproduced; at single-host point counts it beats the claim
         # rounds' per-round raster scans by an order of magnitude.

@@ -155,7 +155,7 @@ def sharded_resolve_and_claim(mesh, owner0, success, index, cams, pl,
                          in_specs=(rep, sh, sh, sh, sh, sh, sh),
                          out_specs=(sh, rep, rep), check_vma=False)
 
-    fn = _cached(("claim", mesh, bool(skip_start_check), max_rounds),
+    fn = _cached(mesh, ("claim", bool(skip_start_check), max_rounds),
                  build)
     return fn(owner0, success, index, cams, pl, b_start, span_mask)
 

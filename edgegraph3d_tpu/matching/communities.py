@@ -83,26 +83,202 @@ def label_propagation(edges: jnp.ndarray, weights: jnp.ndarray,
     return labels
 
 
+def modularity(edges: np.ndarray, weights: np.ndarray,
+               labels: np.ndarray) -> float:
+    """Weighted Newman modularity Q of a partition (host-side scorer).
+
+    Q = (1/2m) sum_ij (A_ij - k_i k_j / 2m) delta(c_i, c_j), the
+    objective grappolo's Louvain maximizes (reference:
+    external/grappolo-05-2014/louvainMultiPhaseRun.cpp; quality
+    printed by driverForGraphClustering_edited.cpp:148-170).  Used to
+    measure the label-propagation replacement against a modularity
+    baseline (tools/community_ab.py, tests/test_communities.py)."""
+    edges = np.asarray(edges)
+    weights = np.asarray(weights, np.float64)
+    labels = np.asarray(labels)
+    if len(edges) == 0:
+        return 0.0
+    ok = (edges[:, 0] >= 0) & (edges[:, 1] >= 0)
+    e, w = edges[ok], weights[ok]
+    two_m = 2.0 * w.sum()
+    if two_m <= 0:
+        return 0.0
+    deg = np.zeros(labels.shape[0])
+    np.add.at(deg, e[:, 0], w)
+    np.add.at(deg, e[:, 1], w)
+    same = labels[e[:, 0]] == labels[e[:, 1]]
+    w_in = w[same].sum()                      # undirected intra weight
+    n_comm = labels.max() + 1
+    sum_tot = np.zeros(int(n_comm) + 1)
+    np.add.at(sum_tot, labels, deg)
+    return float(2.0 * w_in / two_m - np.sum((sum_tot / two_m) ** 2))
+
+
+def _louvain_one_level(adj: list, deg: np.ndarray,
+                       two_m: float) -> np.ndarray:
+    """One sequential local-moving pass: greedily move nodes to the
+    neighbouring community with the best modularity gain until a full
+    sweep makes no move.  Returns labels."""
+    n = len(adj)
+    labels = np.arange(n)
+    sum_tot = deg.copy()                       # per-community degree
+    improved = True
+    sweeps = 0
+    while improved and sweeps < 32:
+        improved = False
+        sweeps += 1
+        for i in range(n):
+            ci = labels[i]
+            # weights to neighbouring communities
+            wc: dict = {}
+            for j, w in adj[i]:
+                wc[labels[j]] = wc.get(labels[j], 0.0) + w
+            sum_tot[ci] -= deg[i]
+            best_c, best_gain = ci, wc.get(ci, 0.0) - \
+                deg[i] * sum_tot[ci] / two_m
+            for c, w_ic in wc.items():
+                gain = w_ic - deg[i] * sum_tot[c] / two_m
+                if gain > best_gain + 1e-12 or (
+                        abs(gain - best_gain) <= 1e-12 and c < best_c):
+                    best_c, best_gain = c, gain
+            labels[i] = best_c
+            sum_tot[best_c] += deg[i]
+            if best_c != ci:
+                improved = True
+    return labels
+
+
+def louvain_host(edges: np.ndarray, weights: np.ndarray,
+                 n_nodes: int, max_phases: int = 10) -> np.ndarray:
+    """Sequential multi-phase Louvain (host-side, test/tool-only).
+
+    The measurement baseline standing in for grappolo's
+    runMultiPhaseLouvainAlgorithm (reference:
+    external/grappolo-05-2014/louvainMultiPhaseRun.cpp,
+    parallelLouvainMethod.cpp): local moving to a modularity local
+    optimum, aggregate communities into super-nodes, repeat until no
+    phase merges anything.  Original implementation (plain greedy
+    Louvain); NOT the production path — the engine uses device label
+    propagation above, and tools/community_ab.py records the measured
+    quality gap between the two."""
+    edges = np.asarray(edges)
+    weights = np.asarray(weights, np.float64)
+    ok = (edges[:, 0] >= 0) & (edges[:, 1] >= 0) \
+        if len(edges) else np.zeros(0, bool)
+    e, w = edges[ok], weights[ok]
+    total_map = np.arange(n_nodes)
+    n = n_nodes
+    self_w = np.zeros(n)
+    for _ in range(max_phases):
+        two_m = 2.0 * w.sum() + self_w.sum()
+        if two_m <= 0:
+            break
+        deg = self_w.copy()
+        np.add.at(deg, e[:, 0], w)
+        np.add.at(deg, e[:, 1], w)
+        adj: list = [[] for _ in range(n)]
+        for (a, b), ww in zip(e, w):
+            if a != b:
+                adj[a].append((b, ww))
+                adj[b].append((a, ww))
+        lab = _louvain_one_level(adj, deg, two_m)
+        uniq, lab_c = np.unique(lab, return_inverse=True)
+        total_map = lab_c[total_map]
+        if len(uniq) == n:
+            break
+        # aggregate: communities become super-nodes
+        n2 = len(uniq)
+        agg: dict = {}
+        self2 = np.zeros(n2)
+        np.add.at(self2, lab_c, self_w)
+        for (a, b), ww in zip(lab_c[e], w):
+            if a == b:
+                self2[a] += 2.0 * ww
+            else:
+                key = (min(a, b), max(a, b))
+                agg[key] = agg.get(key, 0.0) + ww
+        e = np.asarray(list(agg.keys()), np.int64).reshape(-1, 2)
+        w = np.asarray(list(agg.values()), np.float64)
+        self_w = self2
+        n = n2
+    return total_map
+
+
+def refine_labels_by_modularity(edges: np.ndarray, weights: np.ndarray,
+                                labels: np.ndarray) -> np.ndarray:
+    """LP-then-merge: aggregate the LP communities into super-nodes and
+    run host Louvain on the (tiny) community graph.  Merges over-split
+    communities toward the modularity optimum; cannot split.  Measured
+    (tests/test_communities.py, tools/community_ab.py): recovers the
+    modularity Louvain reaches on planted-partition graphs where plain
+    LP over-splits, at negligible host cost (the aggregate graph has
+    one node per LP community)."""
+    edges = np.asarray(edges)
+    weights = np.asarray(weights, np.float64)
+    ok = (edges[:, 0] >= 0) & (edges[:, 1] >= 0) \
+        if len(edges) else np.zeros(0, bool)
+    e, w = edges[ok], weights[ok]
+    uniq, lab_c = np.unique(labels, return_inverse=True)
+    n_c = len(uniq)
+    if n_c <= 1 or len(e) == 0:
+        return np.asarray(labels)
+    agg: dict = {}
+    ec = lab_c[e]
+    for (a, b), ww in zip(ec, w):
+        key = (min(a, b), max(a, b))
+        agg[key] = agg.get(key, 0.0) + ww
+    e2 = np.asarray(list(agg.keys()), np.int64).reshape(-1, 2)
+    w2 = np.asarray(list(agg.values()), np.float64)
+    merged = louvain_host(e2, w2, n_c)
+    return merged[lab_c]
+
+
+#: graphs at or below this node count take the exact host Louvain in
+#: method="auto" (the similarity graphs of real scenes are hundreds to
+#: thousands of nodes; LP is the formulation that scales past host
+#: memory, same policy as filtering/density.py's sequential fast path)
+LOUVAIN_MAX_NODES = 20_000
+
+
 def communities_from_edges(edges: np.ndarray, weights: np.ndarray,
                            n_nodes: int, n_iters: int = 30,
-                           min_size: int = 2) -> list[np.ndarray]:
+                           min_size: int = 2,
+                           method: str = "auto") -> list[np.ndarray]:
     """Edge list -> list of node-id arrays (communities of >= min_size).
 
     Mirrors the reference call contract (compute_communities,
-    community_detection_interface.cpp:57-73: cluster id per node)."""
+    community_detection_interface.cpp:57-73: cluster id per node).
+
+    Methods, measured in COMMUNITIES.md / tests/test_communities.py:
+      * "louvain"  — exact sequential host Louvain (grappolo-quality
+        partition; the stage-1 graphs are small, so this costs ms)
+      * "lp"       — device label propagation (scales to pod-size
+        graphs; over-merges on ~1/4 of real similarity graphs)
+      * "lp+merge" — LP + host modularity merge (fixes LP's
+        over-SPLITS; cannot fix over-merges)
+      * "auto"     — louvain at <= LOUVAIN_MAX_NODES, else lp+merge
+        (production default, config.community_method)
+    """
     if len(edges) == 0 or n_nodes == 0:
         return []
-    # pad shapes to powers of two so compiled executables are reused
-    # across scenes (and across the persistent compile cache)
-    E_pad = 1 << int(np.ceil(np.log2(max(len(edges), 1))))
-    n_pad = 1 << int(np.ceil(np.log2(max(n_nodes, 1))))
-    edges_p = np.full((E_pad, 2), -1, dtype=np.int32)
-    edges_p[: len(edges)] = edges
-    weights_p = np.zeros(E_pad, dtype=np.float32)
-    weights_p[: len(weights)] = weights
-    labels = np.asarray(label_propagation(
-        jnp.asarray(edges_p), jnp.asarray(weights_p),
-        n_pad, n_iters))[:n_nodes]
+    if method == "auto":
+        method = "louvain" if n_nodes <= LOUVAIN_MAX_NODES else "lp+merge"
+    if method == "louvain":
+        labels = louvain_host(edges, weights, n_nodes)
+    else:
+        # pad shapes to powers of two so compiled executables are
+        # reused across scenes (and across the persistent compile cache)
+        E_pad = 1 << int(np.ceil(np.log2(max(len(edges), 1))))
+        n_pad = 1 << int(np.ceil(np.log2(max(n_nodes, 1))))
+        edges_p = np.full((E_pad, 2), -1, dtype=np.int32)
+        edges_p[: len(edges)] = edges
+        weights_p = np.zeros(E_pad, dtype=np.float32)
+        weights_p[: len(weights)] = weights
+        labels = np.asarray(label_propagation(
+            jnp.asarray(edges_p), jnp.asarray(weights_p),
+            n_pad, n_iters))[:n_nodes]
+        if method == "lp+merge":
+            labels = refine_labels_by_modularity(edges, weights, labels)
     out = []
     for lab in np.unique(labels):
         members = np.flatnonzero(labels == lab)

@@ -104,21 +104,23 @@ def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
 def _close_polylines_cached(sfmd, ctx, M: int, within_dist: float):
     """Per-(scene, context) memo: stage 2's close set (M=2) is a PREFIX
     of stage 1's (the top-M lists are nested by construction), so one
-    device sweep serves both stages.  The cache lives on the SfMData
-    object (like dense_observations') and keys on the context identity
-    so a different scene or rebuilt context never reuses stale
-    candidates."""
-    cache = getattr(sfmd, "_close_polyline_cache", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(sfmd, "_close_polyline_cache", cache)
-    for (ctx_id, m2, d), val in cache.items():
-        if ctx_id == id(ctx) and d == within_dist and m2 >= M:
+    device sweep serves both stages.  The cache lives on the CONTEXT
+    object (so it dies with the context, never outliving the polylines
+    it was computed from) and each entry pins a weakref to the scene it
+    served — a rebuilt context or a different SfMData can never reuse
+    stale candidates, and entries cannot accumulate across contexts."""
+    import weakref
+    cache = ctx.__dict__.setdefault("_close_polyline_cache", {})
+    for (m2, d), (scene_ref, val) in cache.items():
+        if scene_ref() is sfmd and d == within_dist and m2 >= M:
             return detection.Candidates(*[a[:, :, :M] for a in val])
     obs_xy, _ = dense_observations(sfmd)
     cand = _close_polylines(ctx.plg_coords, ctx.grids, ctx.cell,
                             jnp.asarray(obs_xy), M, within_dist)
-    cache[(id(ctx), M, within_dist)] = cand
+    # drop entries for dead or different scenes (one scene per context)
+    for k in [k for k, (ref, _) in cache.items() if ref() is not sfmd]:
+        del cache[k]
+    cache[(M, within_dist)] = (weakref.ref(sfmd), cand)
     return cand
 
 
@@ -276,7 +278,8 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     edges = np.stack([ia[keep], ib[keep]], axis=1).astype(np.int32)
     weights = w_edge[keep].astype(np.float32)
 
-    comms = comm_mod.communities_from_edges(edges, weights, U, min_size=3)
+    comms = comm_mod.communities_from_edges(
+        edges, weights, U, min_size=3, method=cfg.community_method)
     out = []
     for c in comms:
         uc = used[np.asarray(c)]

@@ -207,7 +207,8 @@ def _seed_sweep(plg_coords, plg_length, grids, P_mats, F_table,
 
     radius = jnp.minimum(starts.dist * cfg.detection_correspondence_factor,
                          3.0 * cfg.detection_starting_dist_px)
-    radius = jnp.maximum(radius, cfg.detection_starting_dist_px * 0.3)
+    radius = jnp.maximum(radius, cfg.detection_starting_dist_px
+                         * cfg.detection_radius_floor_factor)
 
     # 3. correspondences: iterate target views, vmap over (n, vs, m)
     def corr_view(vo):
@@ -372,7 +373,8 @@ def _seed_from_starts(plg_coords, plg_length, grids, P_mats, F_table,
 
     radius = jnp.minimum(s_dist * cfg.detection_correspondence_factor,
                          3.0 * cfg.detection_starting_dist_px)
-    radius = jnp.maximum(radius, cfg.detection_starting_dist_px * 0.3)
+    radius = jnp.maximum(radius, cfg.detection_starting_dist_px
+                         * cfg.detection_radius_floor_factor)
 
     # 3. correspondences: iterate target views, vmap over compacted items
     obs_rows = obs_xy[ridx]                                  # [K,V,2]
@@ -965,14 +967,15 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
 
 @jax.jit
 def _locate_on_polylines(plg_coords, plg_length, grids, cell, view_ids,
-                         xy, dir2):
+                         xy, dir2, reanchor_tol):
     """(view, xy, image-space direction) -> closest polyline position
     plus the REMAINING arc length of that polyline in the direction
-    (the xy are known polyline points; tol 2 px re-anchors them).
+    (the xy are known polyline points; cfg.extension_reanchor_px
+    re-anchors them).
     Returns packed [Q, 6] f32 rows [pl, seg, t, ok, dist, remaining]."""
     def q(v, pt):
         return detection.detect_starting_intersections(
-            grids[v], plg_coords[v], pt, cell, 2.0, 1)
+            grids[v], plg_coords[v], pt, cell, reanchor_tol, 1)
     cand = jax.vmap(q)(view_ids, xy)
     pl = jnp.maximum(cand.pl_id[:, 0], 0)
     seg = jnp.maximum(cand.seg[:, 0], 0)
@@ -1080,9 +1083,10 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     loc_all = np.asarray(_locate_on_polylines(
         ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.cell,
         jnp.asarray(vq), jnp.asarray(xq),
-        jnp.asarray(dq)))[:Q].reshape(E, V, 6)
+        jnp.asarray(dq), cfg.extension_reanchor_px))[:Q].reshape(E, V, 6)
 
-    eligible = m & (loc_all[..., 3] > 0.5) & (resid < 2.0)
+    eligible = m & (loc_all[..., 3] > 0.5) \
+        & (resid < cfg.extension_consistency_px)
     remaining = np.where(eligible, loc_all[..., 5], -1.0)
     # top-3 by remaining arc, ties to lower view id
     rank = np.lexsort((np.broadcast_to(np.arange(V), (E, V)),

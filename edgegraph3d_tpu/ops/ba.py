@@ -198,6 +198,20 @@ def ba_step_single(state: BAState, obs_cam, obs_xy, obs_mask,
     return new_state, resid_sq / jnp.maximum(n_obs, 1)
 
 
+@partial(jax.jit, static_argnames=("n_steps",))
+def ba_run(state: BAState, obs_cam, obs_xy, obs_mask, n_steps: int,
+           damping: float = 1e-4):
+    """n_steps LM steps on one device (jit once, scan inside).
+
+    Returns (final state, per-step mse [n_steps] — each the mean
+    squared residual AT the linearization point of that step, so
+    mses[0] is the pre-BA error)."""
+    def body(st, _):
+        st2, mse = ba_step_single(st, obs_cam, obs_xy, obs_mask, damping)
+        return st2, mse
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
 def ba_mse(state: BAState, obs_cam, obs_xy, obs_mask):
     """Mean squared pixel residual of the current state."""
     N, O = obs_cam.shape

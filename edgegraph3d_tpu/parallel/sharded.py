@@ -35,15 +35,25 @@ from edgegraph3d_tpu.ops import ba as ba_ops
 from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
 from edgegraph3d_tpu.parallel.mesh import SHARD_AXIS
 
-#: (wrapper name, hashable params) -> jitted shard_map
-_FN_CACHE: dict = {}
+#: mesh -> {(wrapper name, hashable params) -> jitted shard_map}.
+#: Weak-keyed on the mesh so dropping a Mesh releases every compiled
+#: executable built for it (an unbounded strong dict retained meshes +
+#: their jitted closures for the process lifetime — sessions creating
+#: many meshes, e.g. tests, leaked them).
+import weakref
+
+_FN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _cached(key, build):
-    fn = _FN_CACHE.get(key)
+def _cached(mesh, key, build):
+    per = _FN_CACHE.get(mesh)
+    if per is None:
+        per = {}
+        _FN_CACHE[mesh] = per
+    fn = per.get(key)
     if fn is None:
         fn = jax.jit(build())
-        _FN_CACHE[key] = fn
+        per[key] = fn
     return fn
 
 
@@ -79,7 +89,7 @@ def distributed_ba_step(mesh, state: ba_ops.BAState, obs_cam, obs_xy,
                          out_specs=(rep, rep, sh, rep),
                          check_vma=False)
 
-    fn = _cached(("ba_step", mesh, float(damping)), build)
+    fn = _cached(mesh, ("ba_step", float(damping)), build)
     R, t, X, mse = fn(state.X, obs_cam, obs_xy, obs_mask,
                       state.K, state.R, state.t)
     return ba_ops.BAState(K=state.K, R=R, t=t, X=X), mse
@@ -98,7 +108,7 @@ def distributed_ba(mesh, state, obs_cam, obs_xy, obs_mask,
             return jax.lax.scan(body, state, None, length=n_steps)
         return run
 
-    fn = _cached(("ba", mesh, n_steps, float(damping)), build)
+    fn = _cached(mesh, ("ba", n_steps, float(damping)), build)
     return fn(state, obs_cam, obs_xy, obs_mask)
 
 
@@ -114,7 +124,7 @@ def sharded_gauss_newton(mesh, P_obs, xy, mask, X0, **kw):
         return shard_map(local, mesh=mesh, in_specs=(sh, sh, sh, sh),
                          out_specs=(sh, sh, sh), check_vma=False)
 
-    fn = _cached(("gn", mesh, tuple(sorted(kw.items()))), build)
+    fn = _cached(mesh, ("gn", tuple(sorted(kw.items()))), build)
     return fn(P_obs, xy, mask, X0)
 
 
@@ -148,7 +158,7 @@ def sharded_start_sweep(mesh, plg_coords, grids, cell, obs_xy,
         return shard_map(local, mesh=mesh, in_specs=(sh, sh, rep, rep),
                          out_specs=(sh, sh), check_vma=False)
 
-    fn = _cached(("start", mesh, float(cell), float(starting_dist), M,
+    fn = _cached(mesh, ("start", float(cell), float(starting_dist), M,
                   cap_dev), build)
     return fn(obs_xy, start_mask, plg_coords, grids)
 
@@ -180,7 +190,7 @@ def sharded_seed_from_starts(mesh, plg_coords, plg_length, grids, P_mats,
                                    rep),
                          out_specs=(sh, sh), check_vma=False)
 
-    fn = _cached(("seed", mesh, float(cell), M, cfg, cap_dev), build)
+    fn = _cached(mesh, ("seed", float(cell), M, cfg, cap_dev), build)
     return fn(starts_buf, n_starts, obs_xy, obs_mask, plg_coords,
               plg_length, grids, P_mats, F_table)
 
@@ -208,7 +218,7 @@ def sharded_follow_bidirectional(mesh, seeds, plg_coords, plg_length,
                          in_specs=(sh, rep, rep, rep, rep),
                          out_specs=sh, check_vma=False)
 
-    fn = _cached(("followb", mesh, cfg, max_steps), build)
+    fn = _cached(mesh, ("followb", cfg, max_steps), build)
     return fn(seeds, plg_coords, plg_length, P_mats, F_table)
 
 
@@ -233,7 +243,7 @@ def sharded_follow_fixed(mesh, seeds, plg_coords, plg_length, P_mats,
                          in_specs=(sh, sh, sh, rep, rep, rep, rep),
                          out_specs=sh, check_vma=False)
 
-    fn = _cached(("followf", mesh, cfg, max_steps), build)
+    fn = _cached(mesh, ("followf", cfg, max_steps), build)
     return fn(seeds, perm, dirs, plg_coords, plg_length, P_mats, F_table)
 
 
@@ -264,6 +274,6 @@ def sharded_expand_compact(mesh, plg_coords, grids, P_mats, F_table,
                                    rep, rep),
                          out_specs=(sh, sh, sh, sh), check_vma=False)
 
-    fn = _cached(("expand", mesh, float(cell), cfg, C_dev, T), build)
+    fn = _cached(mesh, ("expand", float(cell), cfg, C_dev, T), build)
     return fn(X, obs3, cams3, chain_idx, t_idx, item_ok, chain_valid,
               plg_coords, grids, P_mats, F_table)

@@ -43,6 +43,8 @@ class PipelineStats:
     #: suppression/truncation/overflow observability (MatchesManager
     #: counters + extraction overflow), merged in by the drivers
     counters: dict = field(default_factory=dict)
+    #: float-valued quality/diagnostic metrics (e.g. BA mse before/after)
+    metrics: dict = field(default_factory=dict)
 
     def log(self, name: str, t0: float, count: int | None = None):
         self.timings[name] = time.time() - t0
@@ -57,7 +59,50 @@ class PipelineStats:
         if self.counters:
             lines.append("  counters: " + ", ".join(
                 f"{k}={v}" for k, v in self.counters.items()))
+        if self.metrics:
+            lines.append("  metrics: " + ", ".join(
+                f"{k}={v:.6g}" for k, v in self.metrics.items()))
         return "\n".join(lines)
+
+    def to_dict(self) -> dict:
+        return dict(
+            timings={k: round(float(v), 4) for k, v in
+                     self.timings.items()},
+            counts={k: int(v) for k, v in self.counts.items()},
+            counters={k: int(v) for k, v in self.counters.items()},
+            metrics={k: float(v) for k, v in self.metrics.items()})
+
+
+def config_hash(config: EdgeGraphConfig) -> str:
+    import dataclasses
+    import hashlib
+    import json
+    blob = json.dumps(dataclasses.asdict(config), sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def write_run_manifest(working_folder: str, config: EdgeGraphConfig,
+                       stats: PipelineStats, extra: dict | None = None
+                       ) -> str:
+    """Machine-readable per-run record `stats.json` in the working
+    folder: config (+hash), stage timings, counts, counters, and any
+    caller-supplied fields (e.g. quality metrics) — two runs become
+    diffable by file instead of by scraping stderr.  Exceeds the
+    reference's print-only `print_final_stats`
+    (pipelines.cpp:178-199), as SURVEY §5 envisions."""
+    import dataclasses
+    import json
+    manifest = dict(config_hash=config_hash(config),
+                    config=dataclasses.asdict(config),
+                    **stats.to_dict())
+    if extra:
+        manifest.update(extra)
+    path = os.path.join(working_folder, "stats.json")
+    os.makedirs(working_folder, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True, default=str)
+        f.write("\n")
+    return path
 
 
 def edge_points_to_obs_lists(pts: refpoints_mod.EdgePoints):
@@ -143,6 +188,65 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
     return pts
 
 
+def joint_ba_refine(sfmd: sfm_io.SfMData, n_steps: int,
+                    damping: float = 1e-4, mesh=None):
+    """Joint Schur-complement LM over the (augmented) scene: camera
+    poses AND all 3D points free, intrinsics fixed, camera 0 gauge-
+    fixed.  The flagship pod-level generalization of the reference's
+    per-point-only refinement (gauss_newton.cpp:136-178) — see
+    ops/ba.py for the solver and parallel/sharded.py for the psum'd
+    multi-chip variant used when `mesh` is given.
+
+    Returns (refined SfMData, mse_before, mse_after) in px^2."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from edgegraph3d_tpu.matching.refpoints import dense_observations
+    from edgegraph3d_tpu.ops import ba as ba_ops
+
+    N, V = sfmd.n_points, sfmd.n_cameras
+    if N == 0 or n_steps <= 0:
+        return sfmd, None, None
+    obs_xy, obs_mask = dense_observations(sfmd)
+    # pow2-bucketed point axis (compile-cache discipline), mesh-divisible
+    mult = mesh.size if mesh is not None else 1
+    Np = max(256, 1 << (N - 1).bit_length())
+    Np = -(-Np // mult) * mult
+    pad = Np - N
+    X = np.pad(sfmd.points.astype(np.float32), ((0, pad), (0, 0)))
+    xy = np.pad(obs_xy.astype(np.float32), ((0, pad), (0, 0), (0, 0)))
+    mask = np.pad(obs_mask, ((0, pad), (0, 0)))
+    cam = np.broadcast_to(np.arange(V, dtype=np.int32), (Np, V)).copy()
+    state = ba_ops.BAState(
+        K=jnp.asarray(sfmd.K, jnp.float32),
+        R=jnp.asarray(sfmd.R, jnp.float32),
+        t=jnp.asarray(sfmd.t, jnp.float32), X=jnp.asarray(X))
+    if mesh is not None:
+        from edgegraph3d_tpu.parallel import sharded
+        from edgegraph3d_tpu.parallel.distributed import shard_global
+        state = ba_ops.BAState(K=state.K, R=state.R, t=state.t,
+                               X=shard_global(mesh, X))
+        st, mses = sharded.distributed_ba(
+            mesh, state, shard_global(mesh, cam), shard_global(mesh, xy),
+            shard_global(mesh, mask), n_steps=n_steps, damping=damping)
+    else:
+        st, mses = ba_ops.ba_run(state, jnp.asarray(cam), jnp.asarray(xy),
+                                 jnp.asarray(mask), n_steps, damping)
+    mse_after = ba_ops.ba_mse(st, jnp.asarray(cam), jnp.asarray(xy),
+                              jnp.asarray(mask))
+    # one host sync for everything
+    X_new, R_new, t_new, mses, mse_after = jax.tree.map(
+        np.asarray, (st.X, st.R, st.t, mses, mse_after))
+    R_new = R_new.astype(np.float64)
+    t_new = t_new.astype(np.float64)
+    out = dataclasses.replace(
+        sfmd, points=X_new[:N].astype(np.float64), R=R_new, t=t_new,
+        center=-np.einsum("vji,vj->vi", R_new, t_new))
+    return out, float(mses[0]), float(mse_after)
+
+
 def run_pipeline(
     sfmd: sfm_io.SfMData,
     edge_images: np.ndarray,
@@ -218,12 +322,33 @@ def run_pipeline(
             plg3d = plg3d.fragment(config.output_3d_fragment_maxlen)
         plg3d.save(os.path.join(working_folder, "outgraph_3d.npz"))
 
+    if config.ba_steps > 0:
+        # optional joint refinement: cameras + points free (new
+        # capability over the reference's point-only GN; measured A/B
+        # in tests/test_ba_pipeline.py + PROFILE.md), then the standard
+        # filter judges the refined geometry below.
+        t0 = time.time()
+        augmented, mse0, mse1 = joint_ba_refine(
+            augmented, config.ba_steps, config.ba_damping, mesh=mesh)
+        stats.log("joint_ba", t0, config.ba_steps)
+        if mse0 is not None:
+            stats.metrics["ba_mse_before"] = mse0
+            stats.metrics["ba_mse_after"] = mse1
+
     t0 = time.time()
     filtered = filter_sfm_data(augmented, first_edgepoint,
                                gn_max_mse=config.filter_gn_max_mse,
                                min_views_floor=config.filter_min_views,
                                epsilon=config.gn_epsilon)
     stats.log("outlier_filter", t0, filtered.n_points)
+
+    if working_folder:
+        # machine-readable per-run manifest (diffable across runs)
+        write_run_manifest(working_folder, config, stats, extra=dict(
+            n_views=sfmd.n_cameras, n_refpoints=sfmd.n_points,
+            n_edge_points_prefilter=augmented.n_points - first_edgepoint,
+            n_edge_points=filtered.n_points - first_edgepoint,
+            n_points_out=filtered.n_points))
 
     if debug_images and working_folder:
         # full -i debug suite (parity: edge_matcher.cpp:89-96,138-143)

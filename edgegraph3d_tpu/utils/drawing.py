@@ -290,6 +290,81 @@ def draw_claimed_intervals(manager, stack: PLGStack, width: int,
     return out
 
 
+def draw_plgs_by_community(stack: PLGStack, groups, width: int,
+                           height: int) -> np.ndarray:
+    """Every view's polylines colored by stage-1 COMMUNITY id; dim gray
+    = in no community (parity: the reference's community-colored match
+    images used to debug stage-1 recall,
+    drawing_utilities.cpp:53-1191 draw_* family + pipelines.cpp:84-89).
+    A gray edge that should be reconstructed marks a similarity-graph
+    or community-detection miss."""
+    V = stack.n_views
+    out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    gray = np.asarray([70, 70, 70], np.uint8)
+    for v in range(V):
+        for p in np.flatnonzero(stack.valid[v]):
+            c = stack.coords[v, p, : stack.length[v, p]]
+            _draw_polyline(out[v], c, gray)
+    for g, pairs in enumerate(groups or []):
+        color = _color(g)
+        for v, p in np.asarray(pairs):
+            v, p = int(v), int(p)
+            if p < stack.coords.shape[1] and stack.valid[v, p]:
+                c = stack.coords[v, p, : stack.length[v, p]]
+                _draw_polyline(out[v], c, color)
+    return out
+
+
+def _arc_samples(coords: np.ndarray, spacing: float) -> np.ndarray:
+    """Points every `spacing` px of arc length along a polyline."""
+    if len(coords) < 2:
+        return coords
+    seg = np.linalg.norm(np.diff(coords, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    targets = np.arange(0.0, cum[-1] + 1e-6, spacing)
+    idx = np.searchsorted(cum, targets, side="right") - 1
+    idx = np.clip(idx, 0, len(seg) - 1)
+    t = (targets - cum[idx]) / np.maximum(seg[idx], 1e-9)
+    return coords[idx] + t[:, None] * (coords[idx + 1] - coords[idx])
+
+
+def draw_match_set_epipolars(F_table: np.ndarray, stack: PLGStack,
+                             match_set, width: int, height: int,
+                             interval_px: float = 20.0) -> np.ndarray:
+    """Per-polyline-match epipolar overlay for ONE stage-1/2 match set:
+    each matched polyline's 20 px interval points (the stage driver's
+    actual seeds, polyline_matching.hpp:51) send their epipolar lines
+    into every other view of the set, colored by SOURCE view; the
+    set's own polylines are white.  The reference's key stage-1 recall
+    oracle (drawing_utilities.cpp epipolar match visualizations +
+    find_epipolar_correspondences, polyline_matching.cpp:45): a white
+    polyline missed by all incoming colored lines explains a seed
+    failure."""
+    V = stack.n_views
+    out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    pairs = np.asarray(match_set)
+    views = sorted(set(int(v) for v, _ in pairs))
+    white = np.asarray([255, 255, 255], np.uint8)
+    for v, p in pairs:
+        v, p = int(v), int(p)
+        if p >= stack.coords.shape[1] or not stack.valid[v, p]:
+            continue
+        coords = stack.coords[v, p, : stack.length[v, p]]
+        for q in _arc_samples(coords, interval_px):
+            xh = np.asarray([q[0], q[1], 1.0])
+            for u in views:
+                if u == v:
+                    continue
+                _draw_infinite_line(out[u], F_table[v, u] @ xh,
+                                    _color(v))
+    for v, p in pairs:
+        v, p = int(v), int(p)
+        if p < stack.coords.shape[1] and stack.valid[v, p]:
+            coords = stack.coords[v, p, : stack.length[v, p]]
+            _draw_polyline(out[v], coords, white)
+    return out
+
+
 def draw_chains(pts, P_mats: np.ndarray, width: int,
                 height: int) -> np.ndarray:
     """Reconstructed 3D chains reprojected per view, one color per
@@ -346,6 +421,15 @@ def save_debug_images(sfmd: SfMData, folder: str,
          draw_sfmd_points(sfmd, W, H, first_edgepoint, rgb_images))
     if groups_stage1 and stack is not None:
         save("pmsg", draw_match_sets(groups_stage1, stack, W, H))
+        save("pmsg_comm",
+             draw_plgs_by_community(stack, groups_stage1, W, H))
+        if F_table is not None:
+            for g, ms in enumerate(groups_stage1[:3]):
+                imgs = draw_match_set_epipolars(
+                    np.asarray(F_table), stack, ms, W, H)
+                for v, img in enumerate(imgs):
+                    Image.fromarray(img).save(os.path.join(
+                        folder, f"pmsg_epi_{g:03d}_{v:04d}.png"))
     if groups_stage2 and stack is not None:
         save("pmctr", draw_match_sets(groups_stage2, stack, W, H))
     if manager is not None and stack is not None:

@@ -52,6 +52,36 @@ def test_draw_match_sets_and_epipolar(tmp_path):
             assert (ep[int(c), y, x] == 255).all()
 
 
+def test_community_coloring_and_match_epipolars():
+    """The two round-4 stage-1 recall oracles: community-colored PLGs
+    (gray = unmatched) and the per-match-set epipolar overlay."""
+    sfmd, edges, _ = _scene()
+    stack = extract_plgs(edges, CFG)
+    groups = [np.asarray([[0, 0], [1, 0], [2, 0]])]
+    comm = drawing.draw_plgs_by_community(stack, groups, 160, 120)
+    assert comm.shape == (4, 120, 160, 3)
+    # uncolored polylines render dim gray; community members colored
+    grayish = (comm == 70).all(-1)
+    colored = (comm.sum(-1) > 0) & ~grayish
+    assert grayish.any() and colored.any()
+    # view 3 is in no community: only gray there
+    assert not colored[3].any()
+
+    from edgegraph3d_tpu.matching import refpoints as refpoints_mod
+    ctx = refpoints_mod.build_context(sfmd, stack, CFG)
+    epi = drawing.draw_match_set_epipolars(
+        np.asarray(ctx.F_table), stack, groups[0], 160, 120)
+    assert epi.shape == (4, 120, 160, 3)
+    # matched polylines drawn white on their own views; epipolar lines
+    # from the OTHER views land on member views
+    white = (epi == 255).all(-1)
+    assert white[0].any() and white[1].any() and white[2].any()
+    nonwhite_color = (epi.sum(-1) > 0) & ~white
+    assert nonwhite_color[[0, 1, 2]].any()
+    # non-member view stays empty
+    assert not epi[3].any()
+
+
 def test_save_debug_images_full_suite(tmp_path):
     sfmd, edges, _ = _scene()
     stack = extract_plgs(edges, CFG)
@@ -71,7 +101,8 @@ def test_save_debug_images_full_suite(tmp_path):
     names = os.listdir(tmp_path)
     for prefix in ("plgs_imgs", "plgs_comp", "output_on_imgs",
                    "output_on_plgs", "pmsg", "pmctr", "epipolar",
-                   "claimed_intervals", "chains", "detection"):
+                   "claimed_intervals", "chains", "detection",
+                   "pmsg_comm", "pmsg_epi"):
         assert any(n.startswith(prefix) for n in names), prefix
     # the claimed-interval overlay carries actual claims (red pixels)
     from PIL import Image

@@ -66,6 +66,22 @@ def test_density_filter_matches_sequential_reference(rng):
     np.testing.assert_array_equal(keep, ref)
 
 
+def test_density_round_path_matches_sequential(rng):
+    """The round-based claim path (the formulation that parallelizes at
+    pod scale) must equal the exact sequential pass on the same
+    workload — forced via `sequential_threshold=0` so the fast path
+    cannot mask it (round-3 advisory: both prior tests exercised only
+    the sequential branch)."""
+    N, V = 500, 4
+    obs_xy = rng.uniform(0, 90, (N, V, 2)).astype(np.float32)
+    obs_mask = rng.random((N, V)) < 0.7
+    obs_mask[:, 0] = True
+    seq = density_filter(obs_xy, obs_mask, 100, 100, cell=3)
+    rounds = density_filter(obs_xy, obs_mask, 100, 100, cell=3,
+                            sequential_threshold=0)
+    np.testing.assert_array_equal(rounds, seq)
+
+
 def test_outlier_filter(scene):
     sfmd, _, _ = scene
     n_ref = sfmd.n_points
@@ -165,6 +181,18 @@ def test_checkpoint_restart(scene, tmp_path):
                                    "before_filtering.json"))
     refiltered = filter_sfm_data(mid, sfmd.n_points)
     assert refiltered.n_points == out1.n_points
+    # per-run manifest: machine-readable, diffable, complete
+    import json
+    man = json.load(open(tmp_path / "work" / "stats.json"))
+    for key in ("config_hash", "config", "timings", "counts",
+                "counters", "n_edge_points", "n_views"):
+        assert key in man, key
+    assert man["n_points_out"] == out2.n_points
+    assert "outlier_filter" in man["timings"]
+    from edgegraph3d_tpu.pipeline import config_hash
+    assert man["config_hash"] == config_hash(CFG)
+    # counters (incl. overflow observability) are ints, diff-friendly
+    assert all(isinstance(v, int) for v in man["counters"].values())
 
 
 def test_filter_cli(scene, tmp_path):

@@ -78,7 +78,11 @@ def test_similarity_close_cap_saturates():
         focal=400.0, seed=2)
     sizes = {}
     for cap in (2, 8, 12):
-        cfg = CFG.replace(similarity_close_cap=cap)
+        # plain LP: this measures the CLOSE-SET cap in isolation (the
+        # modularity-optimizing methods perturb community membership by
+        # +-1 node between cap settings, which is not what's under test)
+        cfg = CFG.replace(similarity_close_cap=cap,
+                          community_method="lp")
         stack = extraction.extract_plgs(edge_imgs, cfg)
         ctx = refpoints.build_context(sfmd, stack, cfg)
         groups = polyline_stages.similarity_match_sets(sfmd, ctx)

@@ -1,0 +1,177 @@
+"""Stage-level A/B of the grappolo replacement: device label
+propagation (LP), LP + host modularity merge (production default), and
+sequential host Louvain (the grappolo stand-in), measured through the
+FULL pipeline on cluttered synthetic scenes.
+
+SURVEY §7 set the bar: "validate by comparing stage-level point counts
+and final accuracy" (reference baseline:
+external/grappolo-05-2014/driverForGraphClustering_edited.cpp:50-170).
+Run:  python tools/community_ab.py   (regenerates COMMUNITIES.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from edgegraph3d_tpu.config import EdgeGraphConfig  # noqa: E402
+from edgegraph3d_tpu.core import synthetic  # noqa: E402
+from edgegraph3d_tpu.matching import communities as comm_mod  # noqa: E402
+from edgegraph3d_tpu.pipeline import PipelineStats, run_pipeline  # noqa: E402
+
+CFG = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                max_polyline_len=128, max_follow_steps=64)
+
+SCENES = [
+    dict(n_cams=6, curves=("helix", "circle", "parabola"),
+         n_refpoints_per_curve=16, seed=2),
+    dict(n_cams=8, curves=("helix", "circle", "parabola"),
+         n_refpoints_per_curve=12, seed=3),
+    dict(n_cams=8, curves=("helix", "circle", "parabola", "line"),
+         n_refpoints_per_curve=12, seed=5),
+    dict(n_cams=6, curves=("circle", "parabola", "line", "line"),
+         n_refpoints_per_curve=16, seed=8),
+]
+
+
+class GraphTap:
+    """Captures the similarity graph so each partitioner can be scored
+    on the REAL stage-1 graph (pass-through otherwise)."""
+
+    def __init__(self):
+        self.graphs = []
+        self.orig = comm_mod.communities_from_edges
+
+    def __call__(self, edges, weights, n_nodes, *a, **kw):
+        self.graphs.append((np.asarray(edges), np.asarray(weights),
+                            n_nodes))
+        return self.orig(edges, weights, n_nodes, *a, **kw)
+
+
+def med_dist(out, sfmd, curves):
+    pts = out.points[sfmd.n_points:]
+    if len(pts) == 0:
+        return float("inf"), 0.0
+    gt = np.concatenate(curves)
+    d_pt = np.full(len(pts), np.inf)
+    d_gt = np.full(len(gt), np.inf)
+    for lo in range(0, len(pts), 2048):
+        d = np.linalg.norm(pts[lo:lo + 2048, None] - gt[None], axis=-1)
+        d_pt[lo:lo + 2048] = d.min(axis=1)
+        d_gt = np.minimum(d_gt, d.min(axis=0))
+    spacing = np.median(np.linalg.norm(np.diff(gt[:200], axis=0), axis=1))
+    return float(np.median(d_pt)), float((d_gt < 2 * spacing).mean())
+
+
+def run_one(scene_kw, method):
+    sfmd, edge_imgs, curves = synthetic.make_scene(
+        width=320, height_px=240, focal=400.0, **scene_kw)
+    tap = GraphTap()
+    comm_mod.communities_from_edges, orig = tap, \
+        comm_mod.communities_from_edges
+    try:
+        stats = PipelineStats()
+        out = run_pipeline(sfmd, edge_imgs,
+                           CFG.replace(community_method=method),
+                           stats=stats, max_starting_views=2)
+    finally:
+        comm_mod.communities_from_edges = orig
+    med, cov = med_dist(out, sfmd, curves)
+    # score the captured stage-1 graph under this method's labels
+    q, n_comm = float("nan"), 0
+    if tap.graphs:
+        e, w, n = tap.graphs[0]
+        if method == "louvain":
+            labels = comm_mod.louvain_host(e, w, n)
+        else:
+            E_pad = 1 << int(np.ceil(np.log2(max(len(e), 1))))
+            n_pad = 1 << int(np.ceil(np.log2(max(n, 1))))
+            ep = np.full((E_pad, 2), -1, np.int32)
+            ep[: len(e)] = e
+            wp = np.zeros(E_pad, np.float32)
+            wp[: len(w)] = w
+            import jax.numpy as jnp
+            labels = np.asarray(comm_mod.label_propagation(
+                jnp.asarray(ep), jnp.asarray(wp), n_pad, 30))[:n]
+            _, labels = np.unique(labels, return_inverse=True)
+            if method == "lp+merge":
+                labels = comm_mod.refine_labels_by_modularity(e, w, labels)
+        q = comm_mod.modularity(e, w, labels)
+        n_comm = len(np.unique(labels))
+    return dict(
+        modularity=q, n_comm=n_comm,
+        stage1_sets=stats.counts.get("stage1_similarity_graph", 0),
+        stage1_pts=stats.counts.get("stage1_sweep", 0),
+        total_pts=stats.counts.get("outlier_filter", 0) - sfmd.n_points,
+        med_dist=med, coverage=cov)
+
+
+def main():
+    lines = [
+        "# Community detection A/B — grappolo replacement, measured",
+        "",
+        "Three partitioners through the FULL pipeline on cluttered",
+        "synthetic scenes (3-4 curves crossing in image space; "
+        "`python tools/community_ab.py` regenerates):",
+        "",
+        "* **lp** — device label propagation (communities.py)",
+        "* **lp+merge** — LP + host modularity merge "
+        "(the pod-scale arm of config.community_method=\"auto\")",
+        "* **louvain** — sequential host Louvain, stand-in for "
+        "grappolo's multi-phase Louvain (louvainMultiPhaseRun.cpp); "
+        "the small-graph arm of \"auto\"",
+        "",
+        "| scene | method | Q (stage-1 graph) | communities | "
+        "stage-1 sets | stage-1 points | final edge-points | "
+        "med dist3d | coverage |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for i, sc in enumerate(SCENES):
+        for method in ("lp", "lp+merge", "louvain"):
+            r = run_one(sc, method)
+            lines.append(
+                f"| {i} ({len(sc['curves'])} curves, seed "
+                f"{sc['seed']}) | {method} | {r['modularity']:.4f} | "
+                f"{r['n_comm']} | {r['stage1_sets']} | "
+                f"{r['stage1_pts']} | {r['total_pts']} | "
+                f"{r['med_dist']:.4f} | {r['coverage']:.3f} |")
+            print(lines[-1], file=sys.stderr)
+    lines += [
+        "",
+        "Findings (2026-08-21 run):",
+        "",
+        "* On REAL similarity graphs plain LP can over-MERGE: scene 1",
+        "  collapses to a single community (Q=0.00 vs Louvain 0.44),",
+        "  costing stage-1 recall (0 vs 3 stage-1 points, final",
+        "  coverage 0.089 vs 0.158).  The modularity merge only fixes",
+        "  over-SPLITS (planted-partition microbenchmark in",
+        "  tests/test_communities.py: LP+merge == Louvain on every",
+        "  seed), not over-merges.",
+        "* Louvain's partitions also score 0.05-0.19 higher Q on the",
+        "  other scenes with equal-or-better final recall.",
+        "",
+        "**Production default** (`config.community_method = \"auto\"`):",
+        "exact host Louvain for graphs <= 20k nodes (all real scenes;",
+        "ms-cheap, matches grappolo's objective), LP+merge beyond that",
+        "(the device-scalable formulation).  Same policy as the density",
+        "filter's sequential-small / parallel-large split.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COMMUNITIES.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
