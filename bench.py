@@ -50,6 +50,11 @@ import numpy as np
 #   from every one of these)
 CPU_BASELINE_VIEWS_PER_S = 1.7877
 FROZEN_R1_CPU_VIEWS_PER_S = 0.2835
+# full-scale workload (49 views @1600x1200, 6268 refpoints, uncapped
+# starting views) same-code CPU baseline, measured with
+# `python bench.py --probe-cpu --no-trend` on this host; see BASELINE.md.
+# None until measured -> vs_baseline omitted.
+FULL_CPU_BASELINE_VIEWS_PER_S = None
 
 
 def build_workload(n_views: int, width: int, height: int,
@@ -59,6 +64,17 @@ def build_workload(n_views: int, width: int, height: int,
     return synthetic.make_cube_scene(
         n_cams=n_views, n_refpoints_per_edge=n_ref_per_edge,
         width=width, height_px=height, focal=focal, seed=seed)
+
+
+def build_full_workload(n_views: int = 49, n_refpoints: int = 6268,
+                        width: int = 1600, height: int = 1200):
+    """The reference-scale workload (dtu006 shape: 49 views @1600x1200,
+    6268 refpoints, reconstruction from EVERY viewing cam — the
+    all-viewing-cams loop of plg_matching_from_refpoints.cpp:64-81)."""
+    from edgegraph3d_tpu.core import synthetic
+    return synthetic.make_dtu_scale_scene(
+        n_cams=n_views, n_refpoints=n_refpoints, width=width,
+        height_px=height, focal=2.2 * width / 1.6)
 
 
 def quality_metrics(out_sfmd, in_sfmd, curves):
@@ -89,9 +105,8 @@ def quality_metrics(out_sfmd, in_sfmd, curves):
                 coverage_4x=float((d_gt < 4 * spacing).mean()))
 
 
-def run(n_views: int, width: int, height: int, n_ref: int,
-        max_starting_views: int | None, verbose: bool = True,
-        mesh_devices: int = 0):
+def run_workload(sfmd, edge_imgs, curves, n_views: int,
+                 max_starting_views, verbose=True, mesh_devices=0):
     """Steady-state throughput: one warmup pass (same jit shapes — the
     padding budgets make every device program's shape independent of the
     refpoint count) triggers all compiles / executable loads, then the
@@ -117,7 +132,6 @@ def run(n_views: int, width: int, height: int, n_ref: int,
     # zero drops on real dtu006), so the headline number reflects the
     # real-data configuration
     cfg = EdgeGraphConfig().replace(max_follow_steps=128)
-    sfmd, edge_imgs, curves = build_workload(n_views, width, height, n_ref)
 
     # warmup: the FULL workload once, so the measured pass is pure
     # steady state — every compile, executable load, and transfer-shape
@@ -140,6 +154,8 @@ def run(n_views: int, width: int, height: int, n_ref: int,
                        mesh=mesh)
     wall = time.time() - t0
     qual = quality_metrics(out, sfmd, curves)
+    qual["device_fetches"] = stats.counters.get("device_fetches", 0)
+    qual["overflow"] = stats.counters.get("polylines_dropped_overflow", 0)
     if verbose:
         print(stats.report(), file=sys.stderr)
         print(f"total: {wall:.2f}s, edge-points: "
@@ -169,6 +185,7 @@ def scaling_probe(args):
         env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n} "
                             + env.get("XLA_FLAGS", ""))
         cmd = [sys.executable, os.path.abspath(__file__), "--probe-cpu",
+               "--workload", "cube8",
                "--views", str(args.views), "--width", str(args.width),
                "--height", str(args.height),
                "--refpoints-per-edge", str(args.refpoints_per_edge),
@@ -190,16 +207,39 @@ def scaling_probe(args):
                 "overhead/load balance, not silicon speedup"}))
 
 
+def _qual_fields(views_per_s, qual, msv):
+    return {
+        "value": round(views_per_s, 4), "unit": "views/s",
+        "edge_points": qual["edge_points"],
+        "med_dist3d": round(qual["med_dist3d"], 5),
+        "coverage": round(qual["coverage"], 4),
+        "coverage_4x": round(qual["coverage_4x"], 4),
+        "device_fetches": qual.get("device_fetches", 0),
+        "overflow": qual.get("overflow", 0),
+        "max_starting_views": msv if msv is not None else "all"}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--workload", choices=("full", "cube8"),
+                    default="full",
+                    help="full = the reference-scale headline (49 views "
+                    "@1600x1200, 6268 refpoints, UNCAPPED starting "
+                    "views); cube8 = the 8-view capped trend workload "
+                    "benched since round 1")
+    ap.add_argument("--views", type=int, default=0,
+                    help="override view count (0 = workload default)")
     ap.add_argument("--width", type=int, default=1600)
     ap.add_argument("--height", type=int, default=1200)
+    ap.add_argument("--refpoints", type=int, default=6268,
+                    help="full workload refpoint count")
     ap.add_argument("--refpoints-per-edge", type=int, default=48)
-    ap.add_argument("--max-starting-views", type=int, default=2,
-                    help="cap on starting views per refpoint; <= 0 "
-                    "means uncapped (the reference's all-viewing-cams "
-                    "loop, plg_matching_from_refpoints.cpp:64-81)")
+    ap.add_argument("--max-starting-views", type=int, default=0,
+                    help="cap on starting views per refpoint; 0 = "
+                    "workload default (full: uncapped — the reference's "
+                    "all-viewing-cams loop, "
+                    "plg_matching_from_refpoints.cpp:64-81; cube8: 2); "
+                    "< 0 forces uncapped")
     ap.add_argument("--probe-cpu", action="store_true",
                     help="force CPU backend and print raw views/s")
     ap.add_argument("--mesh-devices", type=int, default=0,
@@ -208,6 +248,8 @@ def main():
     ap.add_argument("--scaling-probe", action="store_true",
                     help="measure views/s at 1 vs 8 virtual CPU devices "
                     "and print a scaling-efficiency JSON line")
+    ap.add_argument("--no-trend", action="store_true",
+                    help="skip the secondary cube8 trend run")
     args = ap.parse_args()
 
     if args.scaling_probe:
@@ -224,32 +266,68 @@ def main():
     if args.probe_cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    msv = args.max_starting_views if args.max_starting_views > 0 else None
-    wall, qual = run(args.views, args.width, args.height,
-                     args.refpoints_per_edge, msv,
-                     mesh_devices=args.mesh_devices)
-    views_per_s = args.views / wall
+    full = args.workload == "full"
+    if args.max_starting_views > 0:
+        msv = args.max_starting_views
+    elif args.max_starting_views < 0:
+        msv = None
+    else:
+        msv = None if full else 2
+    if full:
+        views = args.views or 49
+        sfmd, edge_imgs, curves = build_full_workload(
+            views, args.refpoints, args.width, args.height)
+    else:
+        views = args.views or 8
+        sfmd, edge_imgs, curves = build_workload(
+            views, args.width, args.height, args.refpoints_per_edge)
+    print(f"workload: {args.workload}, {views} views, "
+          f"{sfmd.n_points} refpoints, max_starting_views="
+          f"{msv if msv is not None else 'all'}", file=sys.stderr)
+    wall, qual = run_workload(sfmd, edge_imgs, curves, views, msv,
+                              mesh_devices=args.mesh_devices)
+    views_per_s = views / wall
 
     if args.probe_cpu:
         print(f"CPU probe: {views_per_s:.4f} views/s "
               f"({wall:.1f}s, {qual})", file=sys.stderr)
-        print(json.dumps({"metric": "views_per_s_cpu",
-                          "value": round(views_per_s, 4),
-                          "unit": "views/s", "vs_baseline": 1.0}))
+        print(json.dumps({
+            "metric": f"views_per_s_cpu_{args.workload}",
+            "vs_baseline": 1.0,
+            **_qual_fields(views_per_s, qual, msv)}))
         return
 
-    baseline = CPU_BASELINE_VIEWS_PER_S
-    vs = round(views_per_s / baseline, 3) if baseline else 1.0
-    print(json.dumps({
-        "metric": "views_per_s", "value": round(views_per_s, 4),
-        "unit": "views/s", "vs_baseline": vs,
-        "vs_frozen_r1_cpu": round(
-            views_per_s / FROZEN_R1_CPU_VIEWS_PER_S, 3),
-        "edge_points": qual["edge_points"],
-        "med_dist3d": round(qual["med_dist3d"], 5),
-        "coverage": round(qual["coverage"], 4),
-        "coverage_4x": round(qual["coverage_4x"], 4),
-        "max_starting_views": msv if msv is not None else "all"}))
+    if full:
+        baseline = FULL_CPU_BASELINE_VIEWS_PER_S
+        headline = {
+            "metric": "views_per_s_full_scale",
+            "vs_baseline": (round(views_per_s / baseline, 3)
+                            if baseline else None),
+            "total_s": round(wall, 2),
+            **_qual_fields(views_per_s, qual, msv)}
+        if not args.no_trend:
+            # secondary trend line: the 8-view capped workload every
+            # round has benched (stderr, so the driver's headline
+            # parse sees one stdout JSON line)
+            s2, e2, c2 = build_workload(8, args.width, args.height,
+                                        args.refpoints_per_edge)
+            w2, q2 = run_workload(s2, e2, c2, 8, 2, verbose=False)
+            vps2 = 8 / w2
+            print("trend: " + json.dumps({
+                "metric": "views_per_s_cube8",
+                "vs_baseline": round(vps2 / CPU_BASELINE_VIEWS_PER_S, 3),
+                "vs_frozen_r1_cpu": round(
+                    vps2 / FROZEN_R1_CPU_VIEWS_PER_S, 3),
+                **_qual_fields(vps2, q2, 2)}), file=sys.stderr)
+        print(json.dumps(headline))
+    else:
+        print(json.dumps({
+            "metric": "views_per_s",
+            "vs_baseline": round(views_per_s / CPU_BASELINE_VIEWS_PER_S,
+                                 3),
+            "vs_frozen_r1_cpu": round(
+                views_per_s / FROZEN_R1_CPU_VIEWS_PER_S, 3),
+            **_qual_fields(views_per_s, qual, msv)}))
 
 
 if __name__ == "__main__":

@@ -187,6 +187,47 @@ def make_cube_scene(n_cams: int = 8, side: float = 1.2,
     return sfmd, edge_imgs, curves
 
 
+def make_dtu_scale_scene(n_cams: int = 49, n_refpoints: int = 6268,
+                         width: int = 1600, height_px: int = 1200,
+                         focal: float = 2200.0, seed: int = 0,
+                         n_extra_curves: int = 8):
+    """dtu006-shaped workload: ring cameras at the reference example's
+    scale (49 views @1600x1200, 6268 refpoints — example/dtu006/README.md),
+    geometry rich enough that every view carries dozens of polylines:
+    the 12 cube edges plus helix/circle/parabola plus random chords.
+    Refpoints are sampled across ALL curves proportional to sample
+    count, each kept when visible in >= 3 views.
+
+    The reference's own input.json is stripped from the mirror
+    (.MISSING_LARGE_BLOBS), so this synthetic proxy is the standing
+    full-scale fixture; ground-truth curves make quality measurable."""
+    rng = np.random.default_rng(seed)
+    sfmd = ring_cameras(n_cams, width=width, height_px=height_px,
+                        focal=focal)
+    curves = cube_edges(1.2, 256)
+    curves += [curve_points("helix", 512), curve_points("circle", 384),
+               curve_points("parabola", 384)]
+    for i in range(n_extra_curves):
+        curves.append(curve_points("line", 256, seed=seed + 10 + i))
+
+    all_pts = np.concatenate(curves)
+    take = rng.choice(len(all_pts), size=min(n_refpoints, len(all_pts)),
+                      replace=False)
+    ref_X = all_pts[np.sort(take)]
+    xy, front = project_points(sfmd, ref_X)
+    inb = in_image(sfmd, xy, margin=1.0)
+    vis = front & inb
+    n_vis = vis.sum(axis=0)
+    keep = np.flatnonzero(n_vis >= 3)
+    obs_cam = [np.flatnonzero(vis[:, p]).astype(np.int32) for p in keep]
+    obs_xy = [xy[vis[:, p], p] for p in keep]
+    sfmd.points = ref_X[keep]
+    sfmd.obs_cam = obs_cam
+    sfmd.obs_xy = obs_xy
+    edge_imgs = render_edge_images(sfmd, curves)
+    return sfmd, edge_imgs, curves
+
+
 def make_scene(
     n_cams: int = 8,
     curves=("helix", "circle", "parabola"),

@@ -64,7 +64,8 @@ def gauss_newton_filter(sfmd: SfMData, gn_max_mse: float = 2.25,
             max_iters=max_iters, accept_mse=gn_max_mse, epsilon=epsilon)
         # one fused device->host transfer per chunk (round trips cost
         # ~40-100 ms through the TPU tunnel)
-        packed_out = np.asarray(jnp.concatenate(
+        from edgegraph3d_tpu.ops.compaction import fetch
+        packed_out = fetch(jnp.concatenate(
             [X, ok[:, None].astype(X.dtype)], axis=1))[: hi - lo]
         ok = packed_out[:, 3] > 0.5
         inliers[lo:hi] = ok

@@ -256,13 +256,29 @@ def communities_from_edges(edges: np.ndarray, weights: np.ndarray,
         graphs; over-merges on ~1/4 of real similarity graphs)
       * "lp+merge" — LP + host modularity merge (fixes LP's
         over-SPLITS; cannot fix over-merges)
-      * "auto"     — louvain at <= LOUVAIN_MAX_NODES, else lp+merge
+      * "union"    — union of the "lp+merge" and "louvain" partitions'
+        communities (deduplicated).  Neither partitioner dominates:
+        LP can collapse a similarity graph to one community (stage-1
+        recall lost), Louvain's resolution limit can merge small true
+        communities whose bigger merged match sets then kill seeds
+        through the downstream uniqueness test.  Sweeping BOTH
+        partitions recovers each one's misses; the interval claims
+        dedup the overlap (measured in COMMUNITIES.md).
+      * "auto"     — union at <= LOUVAIN_MAX_NODES, else lp+merge
         (production default, config.community_method)
     """
     if len(edges) == 0 or n_nodes == 0:
         return []
     if method == "auto":
-        method = "louvain" if n_nodes <= LOUVAIN_MAX_NODES else "lp+merge"
+        method = "union" if n_nodes <= LOUVAIN_MAX_NODES else "lp+merge"
+    if method == "union":
+        a = communities_from_edges(edges, weights, n_nodes, n_iters,
+                                   min_size, method="lp+merge")
+        b = communities_from_edges(edges, weights, n_nodes, n_iters,
+                                   min_size, method="louvain")
+        seen = {frozenset(int(x) for x in c) for c in a}
+        return a + [c for c in b
+                    if frozenset(int(x) for x in c) not in seen]
     if method == "louvain":
         labels = louvain_host(edges, weights, n_nodes)
     else:

@@ -232,7 +232,8 @@ def expand_chains_sweep(plg_coords, grids, P_mats, F_table, cell: float,
         proj, depth = project_depth(P_mats[v][None, None], X)   # [C,T,2]
 
         Fv = jnp.take(F_table, v, axis=1)[vs]              # [C,3,3]
-        line = jnp.einsum("cij,ctj->cti", Fv, drive_h)
+        line = jnp.einsum("cij,ctj->cti", Fv, drive_h,
+                          precision=jax.lax.Precision.HIGHEST)
         ln = jnp.sqrt(line[..., 0] ** 2 + line[..., 1] ** 2)
         line = line / jnp.maximum(ln, 1e-20)[..., None]
         pl, seg, t, xy, uq = _expand_candidates(
@@ -347,7 +348,8 @@ def expand_chains_compact(plg_coords, grids, P_mats, F_table, cell: float,
         depth = depth[:, 0]
 
         Fv = jnp.take(F_table, v, axis=1)[vs]              # [K,3,3]
-        line = jnp.einsum("kij,kj->ki", Fv, drive_h)
+        line = jnp.einsum("kij,kj->ki", Fv, drive_h,
+                          precision=jax.lax.Precision.HIGHEST)
         ln = jnp.sqrt(line[..., 0] ** 2 + line[..., 1] ** 2)
         line = line / jnp.maximum(ln, 1e-20)[..., None]
         c_pl, c_seg, c_t, c_xy, uq = _expand_candidates(

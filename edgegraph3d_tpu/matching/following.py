@@ -93,7 +93,8 @@ def _walk_step(coords, lengths, plp_seg, plp_t, plp_xy, dirs,
 
     # 2. epipolar lines of the new driving point into the other views
     xh = jnp.concatenate([adv.plp.xy, jnp.ones((S, 1), coords.dtype)], axis=1)
-    lines = jnp.einsum("skij,sj->ski", F_pairs, xh)
+    lines = jnp.einsum("skij,sj->ski", F_pairs, xh,
+                       precision=jax.lax.Precision.HIGHEST)
     ln = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)
     lines = lines / jnp.maximum(ln, 1e-20)[..., None]
 

@@ -84,16 +84,19 @@ def _close_polylines(plg_coords, grids, cell: float, obs_xy, M: int,
     N = len(obs_np)
     cap = 1024 if jax.default_backend() != "cpu" else chunk
     chunk = min(cap, max(chunk, 1 << max(N - 1, 1).bit_length()))
-    outs = []
+    # enqueue every chunk before fetching any (async dispatch): the
+    # device works through chunk k+1 while chunk k's result crosses
+    # the tunnel
+    pend = []
     for lo in range(0, N, chunk):
         hi = min(lo + chunk, N)
         pad = chunk - (hi - lo)
         ox = jnp.asarray(np.pad(obs_np[lo:hi],
                                 ((0, pad), (0, 0), (0, 0))))
-        res = _close_polylines_chunk(plg_coords, grids, cell, ox, M,
-                                     within_dist)
-        outs.append(np.asarray(res)[: hi - lo])
-    packed = np.concatenate(outs)
+        pend.append((hi - lo, _close_polylines_chunk(
+            plg_coords, grids, cell, ox, M, within_dist)))
+    from edgegraph3d_tpu.ops.compaction import fetch
+    packed = np.concatenate([fetch(res)[:n] for n, res in pend])
     return detection.Candidates(
         pl_id=packed[..., 0].astype(np.int32),
         seg=packed[..., 1].astype(np.int32),
@@ -422,6 +425,113 @@ def _group_seed_sweep(plg_coords, plg_length, P_mats, F_table,
 
     return dict(cams=cams3, pl_id=pl3, seg=seg3, t=t3, xy=xy3,
                 X=seed_X, valid=seed_valid)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "cfg", "cap_s",
+                                   "cap_rows"))
+def _group_seed_follow_fused(plg_coords, plg_length, P_mats, F_table,
+                             grp_cam, grp_pl, grp_mask,
+                             n_samples: int, cfg: EdgeGraphConfig,
+                             cap_s: int, cap_rows: int):
+    """Stage-1/2 megakernel: interval-sample seeding over the match
+    sets + bidirectional follow + packed emission in ONE device
+    program (the group analog of refpoints._seed_follow_fused; same
+    dispatch-latency rationale).  Returns (rows, n_rows, extra =
+    flat[meta (cap_s*39), seed_buf (cap_s*22), n_seeds])."""
+    from edgegraph3d_tpu.matching import following
+    from edgegraph3d_tpu.matching.refpoints import _pack_seed_outputs
+
+    out = _group_seed_sweep(plg_coords, plg_length, P_mats, F_table,
+                            grp_cam, grp_pl, grp_mask, n_samples, cfg)
+    buf, n_seeds = _pack_seed_outputs(out, cap_s)
+    seeds = following.SeedTuple(
+        cams=buf[:, 0:3].astype(jnp.int32),
+        pl_id=buf[:, 3:6].astype(jnp.int32),
+        seg=buf[:, 6:9].astype(jnp.int32),
+        t=buf[:, 9:12],
+        xy=buf[:, 12:18].reshape(cap_s, 3, 2),
+        X=buf[:, 18:21],
+        valid=jnp.arange(cap_s) < n_seeds)
+    fwd, bwd, _ = following.follow_seeds_bidirectional(
+        seeds, plg_coords, plg_length, P_mats, F_table, cfg,
+        cfg.max_follow_steps)
+    rows, n_emit, meta = following.pack_follow_outputs(
+        fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap_rows)
+    f = buf.dtype
+    extra = jnp.concatenate([
+        jnp.ravel(meta).astype(f), jnp.ravel(buf),
+        jnp.reshape(n_seeds, (1,)).astype(f)])
+    return rows, n_emit, extra
+
+
+def group_seeds_and_follow(groups: list[np.ndarray],
+                           ctx: MatchingContext,
+                           n_samples: int = 24, max_members: int = 8,
+                           group_chunk: int = 64):
+    """Pipelined fused stage-1/2 phase A+B: enqueue every group chunk's
+    megakernel, then fetch — one blocking round trip per chunk (see
+    refpoints.compute_and_follow_seeds).  Returns (round0 list for
+    sweep_seeds(precomputed=...), n_seeds_total)."""
+    from edgegraph3d_tpu.matching.refpoints import _chunk_from_seed_buf
+    from edgegraph3d_tpu.ops.compaction import to_host, \
+        to_host_with_extra
+
+    if not groups:
+        return None, 0
+    cfg = ctx.config
+    G_total = len(groups)
+    cam = np.full((G_total, max_members), -1, dtype=np.int32)
+    pl = np.full((G_total, max_members), 0, dtype=np.int32)
+    msk = np.zeros((G_total, max_members), dtype=bool)
+    for g, pairs in enumerate(groups):
+        k = min(len(pairs), max_members)
+        cam[g, :k] = pairs[:k, 0]
+        pl[g, :k] = pairs[:k, 1]
+        msk[g, :k] = True
+
+    cap_s = 16 * group_chunk
+    cap_rows = 32 * cap_s
+    pend = []
+    for lo in range(0, G_total, group_chunk):
+        hi = min(lo + group_chunk, G_total)
+        pad = group_chunk - (hi - lo)
+        gc = jnp.asarray(np.pad(cam[lo:hi], ((0, pad), (0, 0)),
+                                constant_values=-1))
+        gp = jnp.asarray(np.pad(pl[lo:hi], ((0, pad), (0, 0))))
+        gm = jnp.asarray(np.pad(msk[lo:hi], ((0, pad), (0, 0))))
+        out = _group_seed_follow_fused(
+            ctx.plg_coords, ctx.plg_length, ctx.P_mats, ctx.F_table,
+            gc, gp, gm, n_samples, cfg, cap_s, cap_rows)
+        pend.append((lo, gc, gp, gm, out))
+
+    round0 = []
+    seed_lo = 0
+    for lo, gc, gp, gm, (rows_buf, n_emit, extra) in pend:
+        rows, n_rows, extra_np = to_host_with_extra(rows_buf, n_emit,
+                                                    extra)
+        meta = extra_np[: cap_s * 39].reshape(cap_s, 39)
+        sbuf = extra_np[cap_s * 39: cap_s * 61].reshape(cap_s, 22)
+        n_seeds = int(extra_np[cap_s * 61])
+        if n_seeds > cap_s or n_rows > cap_rows:
+            # rare dense chunk: full-width two-phase fallback
+            from edgegraph3d_tpu.matching.refpoints import \
+                _follow_seed_rows, _pack_seed_outputs
+            out_full = _group_seed_sweep(
+                ctx.plg_coords, ctx.plg_length, ctx.P_mats,
+                ctx.F_table, gc, gp, gm, n_samples, cfg)
+            buf_d, n_d = _pack_seed_outputs(
+                out_full, int(np.prod(
+                    np.asarray(out_full["valid"].shape))))
+            sbuf, n_seeds = to_host(buf_d, n_d)
+            if n_seeds == 0:
+                continue
+            rows, meta = _follow_seed_rows(ctx, sbuf, n_seeds)
+        if n_seeds == 0:
+            continue
+        chunk = _chunk_from_seed_buf(np.asarray(sbuf[:n_seeds]), lo)
+        round0.append((seed_lo, chunk, rows, meta[:n_seeds]))
+        seed_lo += n_seeds
+    return (round0 if round0 else None), seed_lo
 
 
 def seeds_from_match_sets(groups: list[np.ndarray], ctx: MatchingContext,

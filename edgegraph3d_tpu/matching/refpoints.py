@@ -446,6 +446,188 @@ def _seed_from_starts(plg_coords, plg_length, grids, P_mats, F_table,
     return compact_rows(seed_valid, payload, cap_out)
 
 
+@partial(jax.jit, static_argnames=("M", "cfg", "cap_s", "cap_rows"))
+def _seed_follow_fused(plg_coords, plg_length, grids, P_mats, F_table,
+                       cell: float, obs_xy, obs_mask, start_mask,
+                       M: int, cfg: EdgeGraphConfig, cap_s: int,
+                       cap_rows: int):
+    """Stage-3 round-0 megakernel: starting-intersection detection ->
+    compacted correspondence/seeding -> bidirectional follow -> packed
+    emission, all device-resident.
+
+    The round-3 profile showed the pipeline dispatch-latency-bound
+    (~20 blocking round trips x 40-100 ms tunnel latency on a 2 s
+    run); fusing phases A+B of the reference's per-refpoint loop
+    (plg_matching_from_refpoints.cpp:64-81 detection + consensus +
+    follow) into ONE device program turns 2 dispatch/fetch pairs per
+    chunk into one fetch, with the compacted seed buffer never leaving
+    the device.  Seed-for-seed identical to the two-phase path
+    (tests/test_refpoints_e2e.py::test_fused_path_matches_two_phase).
+
+    Returns (rows_buf [cap_rows, 11], n_rows, extra) where extra is the
+    flat concat of [meta (cap_s*39), seed_buf (cap_s*22),
+    n_starts, n_seeds]."""
+    from edgegraph3d_tpu.matching import following
+
+    sbuf, ns = _start_sweep(plg_coords, grids, cell, obs_xy, start_mask,
+                            cfg.detection_starting_dist_px, M, cap_s)
+    buf, n_seeds = _seed_from_starts(
+        plg_coords, plg_length, grids, P_mats, F_table, cell, sbuf, ns,
+        obs_xy, obs_mask, M, cfg, cap_s)
+    seeds = following.SeedTuple(
+        cams=buf[:, 0:3].astype(jnp.int32),
+        pl_id=buf[:, 3:6].astype(jnp.int32),
+        seg=buf[:, 6:9].astype(jnp.int32),
+        t=buf[:, 9:12],
+        xy=buf[:, 12:18].reshape(cap_s, 3, 2),
+        X=buf[:, 18:21],
+        valid=jnp.arange(cap_s) < n_seeds)
+    fwd, bwd, _ = following.follow_seeds_bidirectional(
+        seeds, plg_coords, plg_length, P_mats, F_table, cfg,
+        cfg.max_follow_steps)
+    rows, n_emit, meta = following.pack_follow_outputs(
+        fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap_rows)
+    f = buf.dtype
+    extra = jnp.concatenate([
+        jnp.ravel(meta).astype(f), jnp.ravel(buf),
+        jnp.reshape(ns, (1,)).astype(f),
+        jnp.reshape(n_seeds, (1,)).astype(f)])
+    return rows, n_emit, extra
+
+
+def compute_and_follow_seeds(sfmd: SfMData, ctx: MatchingContext,
+                             refpoint_chunk: int = 256,
+                             max_starting_views: int | None = None):
+    """Pipelined fused phase A+B: every chunk's megakernel is ENQUEUED
+    before any result is fetched (JAX dispatch is async), so device
+    compute and the tunnel round trips overlap across chunks; each
+    chunk then costs exactly one blocking fetch.
+
+    Returns (round0 list of (seed_lo, chunk_dict, rows, meta),
+    n_seeds_total) for sweep_seeds(precomputed=...), or (None, 0)."""
+    cfg = ctx.config
+    M = cfg.max_candidates_per_view
+    obs_xy, obs_mask = dense_observations(sfmd)
+    N = len(obs_xy)
+    cap_chunk = 1024 if jax.default_backend() != "cpu" else refpoint_chunk
+    refpoint_chunk = min(cap_chunk, max(refpoint_chunk,
+                                        1 << max(N - 1, 1).bit_length()))
+    start_mask = obs_mask.copy()
+    if max_starting_views is not None:
+        cum = np.cumsum(obs_mask, axis=1)
+        start_mask &= cum <= max_starting_views
+
+    # size the chunk so EXPECTED starts stay near one pow2 seed-buffer
+    # capacity (~2 real candidates per allowed starting view, the
+    # measured density; the count-checked fallback below is exact on
+    # under-estimates).  With uncapped starting views (the reference's
+    # all-viewing-cams loop, plg_matching_from_refpoints.cpp:64-81) a
+    # refpoint contributes ~V starts, so full-scale scenes take many
+    # small pipelined chunks instead of one overflowing monster.
+    svr = float(start_mask.sum(axis=1).mean()) if N else 1.0
+    est_per_ref = max(1.0, 2.0 * svr)
+    fit = max(64, int(4096 / est_per_ref))
+    refpoint_chunk = min(refpoint_chunk,
+                         1 << max(fit - 1, 1).bit_length())
+
+    from edgegraph3d_tpu.ops.compaction import to_host_with_extra
+    V = obs_mask.shape[1]
+    full = refpoint_chunk * V * M
+    est = int(est_per_ref * refpoint_chunk)
+    cap_s = min(full, max(1024, 1 << max(est - 1, 1).bit_length()))
+    cap_rows = 32 * cap_s
+    pend = []
+    for lo in range(0, N, refpoint_chunk):
+        hi = min(lo + refpoint_chunk, N)
+        pad = refpoint_chunk - (hi - lo)
+        ox = jnp.asarray(np.pad(obs_xy[lo:hi],
+                                ((0, pad), (0, 0), (0, 0))))
+        om = jnp.asarray(np.pad(obs_mask[lo:hi], ((0, pad), (0, 0))))
+        sm = jnp.asarray(np.pad(start_mask[lo:hi], ((0, pad), (0, 0))))
+        out = _seed_follow_fused(
+            ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+            ctx.F_table, ctx.cell, ox, om, sm, M, cfg, cap_s, cap_rows)
+        pend.append((lo, ox, om, sm, out))
+
+    round0 = []
+    seed_lo = 0
+    for lo, ox, om, sm, (rows_buf, n_emit, extra) in pend:
+        rows, n_rows, extra_np = to_host_with_extra(rows_buf, n_emit,
+                                                    extra)
+        meta = extra_np[: cap_s * 39].reshape(cap_s, 39)
+        sbuf = extra_np[cap_s * 39: cap_s * 61].reshape(cap_s, 22)
+        ns = int(extra_np[cap_s * 61])
+        n_seeds = int(extra_np[cap_s * 61 + 1])
+        if ns > cap_s or n_rows > cap_rows:
+            # rare dense chunk: redo this chunk at full width through
+            # the two-phase path (same math; overflow-exact)
+            rows, meta, sbuf, n_seeds = _fused_fallback_full(
+                ctx, ox, om, sm, M, cfg, full)
+        if n_seeds == 0:
+            continue
+        chunk = _chunk_from_seed_buf(sbuf[:n_seeds], lo)
+        round0.append((seed_lo, chunk, rows, meta[:n_seeds]))
+        seed_lo += n_seeds
+    return (round0 if round0 else None), seed_lo
+
+
+def _chunk_from_seed_buf(sbuf: np.ndarray, refpoint_lo: int) -> dict:
+    """[n, 22] packed seed rows -> the chunk dict sweep_seeds uses."""
+    return dict(
+        cams=sbuf[:, 0:3].astype(np.int32),
+        pl_id=sbuf[:, 3:6].astype(np.int32),
+        seg=sbuf[:, 6:9].astype(np.int32),
+        t=sbuf[:, 9:12],
+        xy=sbuf[:, 12:18].reshape(-1, 3, 2),
+        X=sbuf[:, 18:21],
+        _ref=refpoint_lo + sbuf[:, 21].astype(np.int64))
+
+
+def _follow_seed_rows(ctx, sbuf: np.ndarray, n_seeds: int):
+    """Host-side full-width follow of packed [*, 22] seed rows: pad to
+    pow2, follow bidirectionally, pack, fetch.  Shared overflow path of
+    the fused sweeps."""
+    from edgegraph3d_tpu.matching import following
+    from edgegraph3d_tpu.ops.compaction import to_host_with_extra
+    cfg = ctx.config
+    Sp = 1 << max(n_seeds - 1, 1).bit_length()
+    pad = Sp - n_seeds
+    sb = np.pad(sbuf[:n_seeds], ((0, pad), (0, 0)))
+    seeds = following.SeedTuple(
+        cams=jnp.asarray(sb[:, 0:3].astype(np.int32)),
+        pl_id=jnp.asarray(sb[:, 3:6].astype(np.int32)),
+        seg=jnp.asarray(sb[:, 6:9].astype(np.int32)),
+        t=jnp.asarray(sb[:, 9:12]),
+        xy=jnp.asarray(sb[:, 12:18].reshape(-1, 3, 2)),
+        X=jnp.asarray(sb[:, 18:21]),
+        valid=jnp.asarray(np.arange(Sp) < n_seeds))
+    fwd, bwd, _ = following.follow_seeds_bidirectional(
+        seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats, ctx.F_table,
+        cfg, cfg.max_follow_steps)
+    cap = 2 * Sp * cfg.max_follow_steps
+    buf2, n_emit, meta = following.pack_follow_outputs(
+        fwd, bwd, seeds.valid, cfg.new_point_min_steps, cap)
+    rows, n_rows, meta_np = to_host_with_extra(buf2, n_emit, meta)
+    return rows, meta_np[:n_seeds]
+
+
+def _fused_fallback_full(ctx, ox, om, sm, M, cfg, full):
+    """Overflow path of the fused sweep: full-width two-phase kernels +
+    a full-width follow/pack (counted, never silently truncating)."""
+    from edgegraph3d_tpu.ops.compaction import to_host
+    sbuf_d, ns_d = _start_sweep(
+        ctx.plg_coords, ctx.grids, ctx.cell, ox, sm,
+        cfg.detection_starting_dist_px, M, full)
+    buf_d, n_d = _seed_from_starts(
+        ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+        ctx.F_table, ctx.cell, sbuf_d, ns_d, ox, om, M, cfg, full)
+    sbuf, n_seeds = to_host(buf_d, n_d)
+    if n_seeds == 0:
+        return np.zeros((0, 11)), np.zeros((0, 39)), sbuf, 0
+    rows, meta = _follow_seed_rows(ctx, sbuf, n_seeds)
+    return rows, meta, sbuf, n_seeds
+
+
 # ----------------------------------------------------------------------
 # Full stage-3 driver
 # ----------------------------------------------------------------------
@@ -637,7 +819,8 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
                 ctx: MatchingContext,
                 manager: "matches_mod.MatchesManager",
                 seed_chunk: int = 2048, seed_id_offset: int = 0,
-                max_continuation_rounds: int = 8):
+                max_continuation_rounds: int = 8,
+                precomputed: list | None = None):
     """Phase B shared by all stages: follow all seeds bidirectionally,
     resolve collisions POST-HOC in seed-index order against `manager`
     (a seed is suppressed only by arcs of ACCEPTED matches, exactly the
@@ -650,9 +833,15 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
     continue in a next sweep round"; parity target: the unbounded while
     at plg_matching.cpp:765-795).
 
+    With `precomputed` (list of (seed_lo, chunk, rows, meta) from
+    compute_and_follow_seeds) round 0's follow dispatches are skipped —
+    the fused megakernel already ran them — and this function only does
+    the host half: claim resolution, collection, continuations.
+
     Returns (X, obs3, cams3, refs, seed_ids, orders) or None."""
     cfg = ctx.config
-    S = len(seed_ref)
+    S = (len(seed_ref) if precomputed is None
+         else sum(len(c["_ref"]) for _, c, _, _ in precomputed))
     # adaptive chunk (see compute_seeds): fewer dispatches, pow2 shapes
     cap_chunk = 4096 if jax.default_backend() != "cpu" else seed_chunk
     seed_chunk = min(cap_chunk, max(seed_chunk,
@@ -771,12 +960,19 @@ def sweep_seeds(seeds_np: dict, seed_ref: np.ndarray,
 
     # ---- round 0: fresh seeds, bidirectional, full resolve
     pending = []
-    for lo in range(0, S, seed_chunk):
-        hi = min(lo + seed_chunk, S)
-        chunk = {k: v[lo:hi] for k, v in seeds_np.items()}
-        chunk["_ref"] = seed_ref[lo:hi]
-        n = hi - lo
-        rows, meta = run_follow(chunk, np.ones(n, bool))
+    if precomputed is None:
+        round0 = []
+        for lo in range(0, S, seed_chunk):
+            hi = min(lo + seed_chunk, S)
+            chunk = {k: v[lo:hi] for k, v in seeds_np.items()}
+            chunk["_ref"] = seed_ref[lo:hi]
+            rows, meta = run_follow(chunk, np.ones(hi - lo, bool))
+            round0.append((lo, chunk, rows, meta))
+    else:
+        round0 = precomputed
+    for lo, chunk, rows, meta in round0:
+        n = len(chunk["_ref"])
+        hi = lo + n
         success = meta[:, _M_TOTAL] >= cfg.new_point_min_steps
         accept = _resolve_claims(
             ctx, manager, success, chunk["cams"], chunk["pl_id"],
@@ -870,6 +1066,55 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
     cap_chunk = 1024 if jax.default_backend() != "cpu" else 256
     chunk = min(cap_chunk, max(256, 1 << max(C - 1, 1).bit_length()))
     chunk = -(-chunk // ctx.n_shards) * ctx.n_shards
+
+    if ctx.mesh is None:
+        # compacted fast path, PIPELINED: every chunk's kernel is
+        # enqueued before any result is fetched, so device compute and
+        # tunnel transfers overlap (see expansion.expand_chains_compact
+        # for the kernel)
+        pend = []
+        for lo in range(0, C, chunk):
+            hi = min(lo + chunk, C)
+            pad = chunk - (hi - lo)
+            gi = np.pad(gather[lo:hi], ((0, pad), (0, 0)))
+            vl = np.pad(vld[lo:hi], ((0, pad), (0, 0)))
+            cm = jnp.asarray(cams3[gi[:, 0]].astype(np.int32))
+            kidx = np.flatnonzero(vl.reshape(-1))
+            rows = gi.reshape(-1)[kidx]
+            n_k = len(kidx)
+            K = chunk * chain_t // 4
+            if n_k > K:
+                K = chunk * chain_t
+            pad_k = K - n_k
+            # padding rows scatter out of bounds -> dropped by the
+            # kernel's mode="drop" scatters
+            ci = np.pad((kidx // chain_t).astype(np.int32), (0, pad_k),
+                        constant_values=chunk)
+            ti = np.pad((kidx % chain_t).astype(np.int32), (0, pad_k),
+                        constant_values=chain_t)
+            Xr, oxy, ook, _ = expansion.expand_chains_compact(
+                ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.F_table,
+                ctx.cell,
+                jnp.asarray(np.pad(X32[rows], ((0, pad_k), (0, 0)))),
+                jnp.asarray(np.pad(obs3_32[rows],
+                                   ((0, pad_k), (0, 0), (0, 0)))),
+                cm, jnp.asarray(ci), jnp.asarray(ti),
+                jnp.asarray(np.arange(K) < n_k), jnp.asarray(vl), cfg,
+                chunk, chain_t)
+            packed_dev = jnp.concatenate(
+                [Xr, oxy.reshape(K, V * 2),
+                 ook.astype(Xr.dtype).reshape(K, V)], axis=1)
+            pend.append((rows, n_k, packed_dev))
+        from edgegraph3d_tpu.ops.compaction import fetch
+        for rows, n_k, packed_dev in pend:
+            sel = fetch(packed_dev)[:n_k]
+            X_out[rows] = sel[:, :3]
+            obs_xy[rows] = sel[:, 3:3 + 2 * V].reshape(-1, V, 2)
+            obs_mask[rows] = sel[:, 3 + 2 * V:] > 0.5
+        return EdgePoints(X=X_out, obs_xy=obs_xy, obs_mask=obs_mask,
+                          seed_refpoint=refs, seed_id=seed_ids,
+                          chain_order=orders)
+
     for lo in range(0, C, chunk):
         hi = min(lo + chunk, C)
         pad = chunk - (hi - lo)
@@ -923,35 +1168,6 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
             sel = np.concatenate(
                 [packed[d, : len(kidx_dev[d])] for d in range(nd)]) \
                 if rows_dev else packed.reshape(0, 3 + 3 * V)
-        else:
-            # compacted fast path: detection + GN only on valid chain
-            # points (see expansion.expand_chains_compact)
-            kidx = np.flatnonzero(vl.reshape(-1))
-            rows = gi.reshape(-1)[kidx]
-            n_k = len(kidx)
-            K = chunk * chain_t // 4
-            if n_k > K:
-                K = chunk * chain_t
-            pad_k = K - n_k
-            # padding rows scatter out of bounds -> dropped by the
-            # kernel's mode="drop" scatters
-            ci = np.pad((kidx // chain_t).astype(np.int32), (0, pad_k),
-                        constant_values=chunk)
-            ti = np.pad((kidx % chain_t).astype(np.int32), (0, pad_k),
-                        constant_values=chain_t)
-            Xr, oxy, ook, _ = expansion.expand_chains_compact(
-                ctx.plg_coords, ctx.grids, ctx.P_mats, ctx.F_table,
-                ctx.cell,
-                jnp.asarray(np.pad(X32[rows], ((0, pad_k), (0, 0)))),
-                jnp.asarray(np.pad(obs3_32[rows],
-                                   ((0, pad_k), (0, 0), (0, 0)))),
-                cm, jnp.asarray(ci), jnp.asarray(ti),
-                jnp.asarray(np.arange(K) < n_k), jnp.asarray(vl), cfg,
-                chunk, chain_t)
-            packed = np.asarray(jnp.concatenate(
-                [Xr, oxy.reshape(K, V * 2),
-                 ook.astype(Xr.dtype).reshape(K, V)], axis=1))
-            sel = packed[:n_k]
         X_out[rows] = sel[:, :3]
         obs_xy[rows] = sel[:, 3:3 + 2 * V].reshape(-1, V, 2)
         obs_mask[rows] = sel[:, 3 + 2 * V:] > 0.5
@@ -1003,6 +1219,76 @@ def _locate_on_polylines(plg_coords, plg_length, grids, cell, view_ids,
         jnp.minimum(cand.dist[:, 0], 1e18), remaining], axis=1)
 
 
+@partial(jax.jit, static_argnames=("cfg", "Ep", "cap"))
+def _extension_locate_follow(plg_coords, plg_length, grids, P_mats,
+                             F_table, cell: float, X_end, X_prev,
+                             end_obs_xy, m, valid_e,
+                             cfg: EdgeGraphConfig, Ep: int, cap: int):
+    """Extension megakernel: per chain end, reprojection-consistency
+    gating + polyline re-anchoring + remaining-arc view ranking +
+    bidirectional follow + packed emission in ONE device program (the
+    fused form of the former _locate_on_polylines -> host top-3 ->
+    follow sequence; 1 blocking fetch instead of 2).
+
+    X_end/X_prev [Ep,3], end_obs_xy [Ep,V,2], m [Ep,V] (observed at
+    both end and neighbour), valid_e [Ep].  Returns (rows, n_emit,
+    extra = flat[meta (Ep*39), tv (Ep*3), loc_sel (Ep*18),
+    ok_e (Ep)])."""
+    from edgegraph3d_tpu.matching import following
+
+    V = P_mats.shape[0]
+    f = plg_coords.dtype
+    away = X_end - X_prev
+    # HIGHEST precision: the TPU's default matmul path computes f32
+    # einsums through bf16 passes — at P entries ~2e3 and 1600 px
+    # frames that is multi-PIXEL projection error, silently failing
+    # the consistency gate on TPU while CPU passes (observed: 353 vs
+    # 2203 extension points on the same scene)
+    hi = jax.lax.Precision.HIGHEST
+    Xh = jnp.concatenate([X_end, jnp.ones((Ep, 1), X_end.dtype)],
+                         axis=1)
+    proj = jnp.einsum("vij,ej->evi", P_mats, Xh, precision=hi)
+    proj = proj[..., :2] / jnp.maximum(proj[..., 2:3], 1e-9)
+    resid = jnp.linalg.norm(proj - end_obs_xy, axis=-1)        # [E,V]
+    X2h = jnp.concatenate([X_end + 0.5 * away,
+                           jnp.ones((Ep, 1), X_end.dtype)], axis=1)
+    proj2 = jnp.einsum("vij,ej->evi", P_mats, X2h, precision=hi)
+    proj2 = proj2[..., :2] / jnp.maximum(proj2[..., 2:3], 1e-9)
+    dir2 = (proj2 - proj).astype(f)                            # [E,V,2]
+
+    vq = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :],
+                          (Ep, V)).reshape(-1)
+    loc = _locate_on_polylines(
+        plg_coords, plg_length, grids, cell, vq,
+        end_obs_xy.reshape(-1, 2).astype(f), dir2.reshape(-1, 2),
+        cfg.extension_reanchor_px).reshape(Ep, V, 6)
+
+    eligible = m & (loc[..., 3] > 0.5) \
+        & (resid < cfg.extension_consistency_px)
+    remaining = jnp.where(eligible, loc[..., 5], -1.0)
+    vids = jnp.broadcast_to(jnp.arange(V), (Ep, V))
+    rank = jnp.lexsort((vids, -remaining), axis=1)
+    tv = jnp.sort(rank[:, :3], axis=1).astype(jnp.int32)       # [E,3]
+    ok_e = (jnp.sum(eligible, axis=1) >= 3) & valid_e
+    loc_sel = jnp.take_along_axis(loc, tv[:, :, None], axis=1)  # [E,3,6]
+    end_xy = jnp.take_along_axis(end_obs_xy, tv[:, :, None], axis=1)
+
+    seeds = following.SeedTuple(
+        cams=tv, pl_id=loc_sel[..., 0].astype(jnp.int32),
+        seg=loc_sel[..., 1].astype(jnp.int32),
+        t=loc_sel[..., 2].astype(f), xy=end_xy.astype(f),
+        X=X_end.astype(f), valid=ok_e)
+    fwd, bwd, _ = following.follow_seeds_bidirectional(
+        seeds, plg_coords, plg_length, P_mats, F_table, cfg,
+        cfg.max_follow_steps)
+    rows, n_emit, meta = following.pack_follow_outputs(
+        fwd, bwd, seeds.valid, 1, cap)
+    extra = jnp.concatenate([
+        jnp.ravel(meta).astype(f), jnp.ravel(tv).astype(f),
+        jnp.ravel(loc_sel).astype(f), ok_e.astype(f)])
+    return rows, n_emit, extra
+
+
 def extend_chains(ctx: MatchingContext, pts: EdgePoints,
                   manager: "matches_mod.MatchesManager") -> EdgePoints:
     """Grow chains outward from their ends using the EXPANDED view set
@@ -1050,88 +1336,42 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
 
     # tuple views: observed at BOTH the end and its neighbour (so the
     # away-from-chain test is defined), consistent at the end point
-    # (reprojection residual < 2 px — a marginal observation like a
-    # decoy edge inside the MSE gate must not steer new geometry), and
-    # ranked by REMAINING polyline arc in the away direction — the
-    # TPU-tuple stand-in for the reference's per-view dropout
-    # (compatible(), plg_matching.cpp:633-759, silently drops views
-    # whose polylines end and follows with the survivors; a fixed
-    # 3-tuple must instead pick the views whose edges continue)
+    # (reprojection residual < extension_consistency_px — a marginal
+    # observation like a decoy edge inside the MSE gate must not steer
+    # new geometry), and ranked by REMAINING polyline arc in the away
+    # direction — the TPU-tuple stand-in for the reference's per-view
+    # dropout (compatible(), plg_matching.cpp:633-759, silently drops
+    # views whose polylines end and follows with the survivors; a
+    # fixed 3-tuple must instead pick the views whose edges continue).
+    # Gating + ranking + follow run FUSED on device
+    # (_extension_locate_follow): one dispatch, one fetch.
+    from edgegraph3d_tpu.ops.compaction import to_host_with_extra
+    fdt = ctx.plg_coords.dtype
     m = pts.obs_mask[e[:, 0]] & pts.obs_mask[e[:, 1]]       # [E,V]
     X_end = pts.X[e[:, 0]]
     X_prev = pts.X[e[:, 1]]
     away_dir = X_end - X_prev                                # [E,3]
-    P_np = np.asarray(ctx.P_mats, np.float64)
-    Xh = np.concatenate([X_end, np.ones((E, 1))], axis=1)    # [E,4]
-    proj = np.einsum("vij,ej->evi", P_np, Xh)
-    proj = proj[..., :2] / np.maximum(proj[..., 2:3], 1e-9)
-    resid = np.linalg.norm(proj - pts.obs_xy[e[:, 0]], axis=-1)
-    X2h = np.concatenate([X_end + 0.5 * away_dir,
-                          np.ones((E, 1))], axis=1)
-    proj2 = np.einsum("vij,ej->evi", P_np, X2h)
-    proj2 = proj2[..., :2] / np.maximum(proj2[..., 2:3], 1e-9)
-    dir2 = (proj2 - proj).astype(np.float32)                 # [E,V,2]
+    Ep = 1 << max(int(np.ceil(np.log2(max(E, 256)))), 0)
 
-    # locate EVERY candidate (end, view) on its polyline + remaining arc
-    fdt = ctx.plg_coords.dtype
-    Q = E * V
-    Qp = 1 << max(int(np.ceil(np.log2(max(Q, 256)))), 0)
-    vq = np.pad(np.tile(np.arange(V, dtype=np.int32), E), (0, Qp - Q))
-    xq = np.pad(pts.obs_xy[e[:, 0]].reshape(-1, 2).astype(fdt),
-                ((0, Qp - Q), (0, 0)))
-    dq = np.pad(dir2.reshape(-1, 2).astype(fdt), ((0, Qp - Q), (0, 0)))
-    loc_all = np.asarray(_locate_on_polylines(
-        ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.cell,
-        jnp.asarray(vq), jnp.asarray(xq),
-        jnp.asarray(dq), cfg.extension_reanchor_px))[:Q].reshape(E, V, 6)
-
-    eligible = m & (loc_all[..., 3] > 0.5) \
-        & (resid < cfg.extension_consistency_px)
-    remaining = np.where(eligible, loc_all[..., 5], -1.0)
-    # top-3 by remaining arc, ties to lower view id
-    rank = np.lexsort((np.broadcast_to(np.arange(V), (E, V)),
-                       -remaining), axis=1)
-    tv = rank[:, :3]                                         # [E,3]
-    ok_e = eligible.sum(axis=1) >= 3
-    if not ok_e.any():
-        return None
-    e, tv = e[ok_e], np.sort(tv[ok_e], axis=1).astype(np.int32)
-    X_end, X_prev, away_dir = X_end[ok_e], X_prev[ok_e], away_dir[ok_e]
-    loc = np.take_along_axis(loc_all[ok_e], tv[:, :, None],
-                             axis=1)                         # [E,3,6]
-    end_xy = np.take_along_axis(
-        pts.obs_xy[e[:, 0]], tv[:, :, None], axis=1)         # [E,3,2]
-    E = len(e)
-
-    # bidirectional follow from the end position
-    Sp = 1 << max(int(np.ceil(np.log2(max(E, 256)))), 0)
-    pad = Sp - E
-
-    def padded(a, fill=0):
+    def padded(a, dt):
         return jnp.asarray(np.pad(
-            a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
-            constant_values=fill))
-    seeds = following.SeedTuple(
-        cams=padded(tv), pl_id=padded(loc[..., 0].astype(np.int32)),
-        seg=padded(loc[..., 1].astype(np.int32)),
-        t=padded(loc[..., 2].astype(fdt)),
-        xy=padded(end_xy.astype(fdt)),
-        X=padded(pts.X[e[:, 0]].astype(fdt)),
-        valid=jnp.asarray(np.pad(np.ones(E, bool), (0, pad))))
-    fwd, bwd, _ = following.follow_seeds_bidirectional(
-        seeds, ctx.plg_coords, ctx.plg_length, ctx.P_mats, ctx.F_table,
-        cfg, cfg.max_follow_steps)
-    cap = 32 * Sp
-    buf, n_emit, meta = following.pack_follow_outputs(
-        fwd, bwd, seeds.valid, 1, cap)
-    from edgegraph3d_tpu.ops.compaction import to_host_with_extra
-    rows, n_int, meta_np = to_host_with_extra(buf, n_emit, meta)
+            a, ((0, Ep - E),) + ((0, 0),) * (a.ndim - 1)).astype(dt))
+
+    cap = 32 * Ep
+    args = (ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+            ctx.F_table, ctx.cell, padded(X_end, fdt),
+            padded(X_prev, fdt), padded(pts.obs_xy[e[:, 0]], fdt),
+            padded(m, bool), jnp.asarray(np.arange(Ep) < E))
+    rows_d, n_emit, extra = _extension_locate_follow(*args, cfg, Ep, cap)
+    rows, n_int, extra_np = to_host_with_extra(rows_d, n_emit, extra)
     if n_int > cap:
-        cap = 2 * Sp * cfg.max_follow_steps
-        buf, n_emit, meta = following.pack_follow_outputs(
-            fwd, bwd, seeds.valid, 1, cap)
-        rows, n_int, meta_np = to_host_with_extra(buf, n_emit, meta)
-    meta = meta_np[:E]
+        cap = 2 * Ep * cfg.max_follow_steps
+        rows_d, n_emit, extra = _extension_locate_follow(*args, cfg, Ep,
+                                                         cap)
+        rows, n_int, extra_np = to_host_with_extra(rows_d, n_emit, extra)
+    meta = extra_np[: Ep * 39].reshape(Ep, 39)[:E]
+    tv = extra_np[Ep * 39: Ep * 42].reshape(Ep, 3)[:E].astype(np.int32)
+    loc = extra_np[Ep * 42: Ep * 60].reshape(Ep, 3, 6)[:E]
     if len(rows) == 0:
         return None
 
@@ -1224,14 +1464,23 @@ def reconstruct_from_refpoints(
     plg_matching_from_refpoints_parallel, plg_matching_from_refpoints.cpp:83-165).
     """
     V = ctx.P_mats.shape[0]
-    seeds_np, seed_ref = compute_seeds(sfmd, ctx, refpoint_chunk,
-                                       max_starting_views)
-    if seeds_np is None:
-        return _empty_points(V)
     if manager is None:
         manager = matches_mod.MatchesManager(np.asarray(ctx.plg_length))
-    res = sweep_seeds(seeds_np, seed_ref, ctx, manager, seed_chunk,
-                      seed_id_offset)
+    if ctx.mesh is None:
+        # fused megakernel path (one dispatch + one fetch per chunk)
+        round0, _ = compute_and_follow_seeds(sfmd, ctx, refpoint_chunk,
+                                             max_starting_views)
+        if round0 is None:
+            return _empty_points(V)
+        res = sweep_seeds(None, None, ctx, manager, seed_chunk,
+                          seed_id_offset, precomputed=round0)
+    else:
+        seeds_np, seed_ref = compute_seeds(sfmd, ctx, refpoint_chunk,
+                                           max_starting_views)
+        if seeds_np is None:
+            return _empty_points(V)
+        res = sweep_seeds(seeds_np, seed_ref, ctx, manager, seed_chunk,
+                          seed_id_offset)
     if res is None:
         return _empty_points(V)
     pts = expand_and_assemble(ctx, *res)

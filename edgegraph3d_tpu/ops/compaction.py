@@ -19,6 +19,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+#: process-wide count of BLOCKING device->host fetches (each costs a
+#: full tunnel round trip, ~40-100 ms — the dispatch-latency metric
+#: PROFILE.md tracks; pipeline.py reports the per-run delta)
+TRANSFER_COUNT = [0]
+
+
+def count_fetch(n: int = 1) -> None:
+    TRANSFER_COUNT[0] += n
+
+
+def fetch(x):
+    """Counted blocking fetch of a device array (np.asarray + count)."""
+    import numpy as np
+    count_fetch()
+    return np.asarray(x)
+
 
 @partial(jax.jit, static_argnames=("cap",))
 def compact_rows(valid: jnp.ndarray, payload: jnp.ndarray, cap: int):
@@ -44,6 +60,7 @@ def fetch_global(x):
     claiming/assembly logic is replicated-deterministic across
     processes — tests/test_multihost.py asserts the agreement)."""
     import numpy as np
+    count_fetch()
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
     from jax.experimental import multihost_utils
@@ -99,11 +116,13 @@ def to_host_with_extra(buf, n, extra):
     e_count = int(np.prod(e_shape)) if e_shape else 1
     rows_e = -(-e_count // D)
     g = max(cap // 4, 1)
+    count_fetch()
     head = np.asarray(_head_with_count_extra(buf, n, extra, g, rows_e))
     n = int(head[0, 0])
     extra_np = head[1: 1 + rows_e].reshape(-1)[:e_count].reshape(e_shape)
     if n <= g:
         return head[1 + rows_e: 1 + rows_e + n], n, extra_np
+    count_fetch()
     b = min(1 << (max(n, 1) - 1).bit_length(), cap)
     return np.asarray(buf[:b])[: min(n, cap)], n, extra_np
 
@@ -125,11 +144,13 @@ def to_host(buf, n) -> "tuple":
         n = host_count(n)
         return fetch_global(buf)[: min(n, cap)], n
     g = max(cap // 4, 1)
+    count_fetch()
     head = np.asarray(_head_with_count(buf, n, g))
     n = int(head[0, 0])
     if n == 0:
         return np.zeros((0, buf.shape[-1]), buf.dtype), 0
     if n <= g:
         return head[1: 1 + n], n
+    count_fetch()
     b = min(1 << (max(n, 1) - 1).bit_length(), cap)
     return np.asarray(buf[:b])[: min(n, cap)], n

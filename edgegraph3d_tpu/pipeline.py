@@ -132,14 +132,25 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
 
     def run_group_stage(name, groups, offset):
         t0 = time.time()
-        seeds_np, grp = polyline_stages.seeds_from_match_sets(groups, ctx)
+        res = None
+        if ctx.mesh is None:
+            # fused megakernel path (see group_seeds_and_follow)
+            round0, _ = polyline_stages.group_seeds_and_follow(groups,
+                                                               ctx)
+            if round0 is not None:
+                res = refpoints_mod.sweep_seeds(
+                    None, None, ctx, manager, seed_id_offset=offset,
+                    precomputed=round0)
+        else:
+            seeds_np, grp = polyline_stages.seeds_from_match_sets(
+                groups, ctx)
+            if seeds_np is not None:
+                res = refpoints_mod.sweep_seeds(
+                    seeds_np, grp, ctx, manager, seed_id_offset=offset)
         n = 0
-        if seeds_np is not None:
-            res = refpoints_mod.sweep_seeds(seeds_np, grp, ctx, manager,
-                                            seed_id_offset=offset)
-            if res is not None:
-                pieces.append(res)
-                n = len(res[0])
+        if res is not None:
+            pieces.append(res)
+            n = len(res[0])
         stats.log(name, t0, n)
 
     if 1 in stages:
@@ -158,16 +169,25 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
         run_group_stage("stage2_sweep", groups2, 10 ** 7)
     if 3 in stages:
         t0 = time.time()
-        seeds_np, seed_ref = refpoints_mod.compute_seeds(
-            sfmd, ctx, max_starting_views=max_starting_views)
         n = 0
-        if seeds_np is not None:
-            res = refpoints_mod.sweep_seeds(seeds_np, seed_ref, ctx,
-                                            manager,
-                                            seed_id_offset=2 * 10 ** 7)
-            if res is not None:
-                pieces.append(res)
-                n = len(res[0])
+        if ctx.mesh is None:
+            # fused megakernel path: detection + seeding + follow in one
+            # device program per chunk, one blocking fetch each
+            round0, _ = refpoints_mod.compute_and_follow_seeds(
+                sfmd, ctx, max_starting_views=max_starting_views)
+            res = (refpoints_mod.sweep_seeds(
+                None, None, ctx, manager, seed_id_offset=2 * 10 ** 7,
+                precomputed=round0) if round0 is not None else None)
+        else:
+            seeds_np, seed_ref = refpoints_mod.compute_seeds(
+                sfmd, ctx, max_starting_views=max_starting_views)
+            res = (refpoints_mod.sweep_seeds(
+                seeds_np, seed_ref, ctx, manager,
+                seed_id_offset=2 * 10 ** 7)
+                if seeds_np is not None else None)
+        if res is not None:
+            pieces.append(res)
+            n = len(res[0])
         stats.log("stage3_refpoints", t0, n)
 
     if not pieces:
@@ -236,9 +256,22 @@ def joint_ba_refine(sfmd: sfm_io.SfMData, n_steps: int,
                                  jnp.asarray(mask), n_steps, damping)
     mse_after = ba_ops.ba_mse(st, jnp.asarray(cam), jnp.asarray(xy),
                               jnp.asarray(mask))
-    # one host sync for everything
-    X_new, R_new, t_new, mses, mse_after = jax.tree.map(
-        np.asarray, (st.X, st.R, st.t, mses, mse_after))
+    # one host sync for everything (counted round trip)
+    from edgegraph3d_tpu.ops.compaction import fetch
+    flat = fetch(jnp.concatenate(
+        [jnp.ravel(st.X).astype(jnp.float32),
+         jnp.ravel(st.R).astype(jnp.float32),
+         jnp.ravel(st.t).astype(jnp.float32),
+         jnp.ravel(mses).astype(jnp.float32),
+         jnp.reshape(mse_after, (1,)).astype(jnp.float32)]))
+    o1 = Np * 3
+    o2 = o1 + V * 9
+    o3 = o2 + V * 3
+    X_new = flat[:o1].reshape(Np, 3)
+    R_new = flat[o1:o2].reshape(V, 3, 3)
+    t_new = flat[o2:o3].reshape(V, 3)
+    mses = flat[o3:o3 + n_steps]
+    mse_after = flat[o3 + n_steps]
     R_new = R_new.astype(np.float64)
     t_new = t_new.astype(np.float64)
     out = dataclasses.replace(
@@ -262,7 +295,9 @@ def run_pipeline(
 
     With `mesh` (a 1-D `jax.sharding.Mesh`) every device sweep shards its
     work-item axis over the mesh (parallel/sharded.py)."""
+    from edgegraph3d_tpu.ops import compaction
     stats = stats if stats is not None else PipelineStats()
+    fetch0 = compaction.TRANSFER_COUNT[0]
 
     t0 = time.time()
     plg_ckpt = (os.path.join(working_folder, "plgs.npz")
@@ -341,6 +376,11 @@ def run_pipeline(
                                min_views_floor=config.filter_min_views,
                                epsilon=config.gn_epsilon)
     stats.log("outlier_filter", t0, filtered.n_points)
+
+    # blocking device->host round trips this run (the tunnel-latency
+    # metric: each costs ~40-100 ms; PROFILE.md tracks the budget)
+    stats.counters["device_fetches"] = \
+        compaction.TRANSFER_COUNT[0] - fetch0
 
     if working_folder:
         # machine-readable per-run manifest (diffable across runs)

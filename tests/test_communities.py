@@ -95,12 +95,17 @@ def test_merge_cannot_split():
         assert len(np.unique(lab1[lab0 == c])) == 1
 
 
-def test_auto_uses_louvain_at_small_scale():
-    """Production default: small graphs get the exact partitioner
-    (COMMUNITIES.md measured plain LP collapsing a real similarity
-    graph to ONE community; auto must not ship that)."""
+def test_auto_is_union_at_small_scale():
+    """Production default: small graphs sweep the UNION of the
+    lp+merge and Louvain partitions.  COMMUNITIES.md measured each
+    partitioner failing where the other succeeds (LP collapses one
+    real similarity graph to a single community; Louvain's resolution
+    limit merges cube-edge match sets and the merged sets kill seeds
+    via the uniqueness test, coverage 0.92 vs LP's 1.00) — the union
+    recovers both, and downstream interval claiming dedups overlap."""
     e, w, n, gt = planted(seed=2)
-    lab_auto = _labels_of(cm.communities_from_edges(e, w, n), n)
-    lab_lv = cm.louvain_host(e, w, n)
-    assert abs(cm.modularity(e, w, lab_auto)
-               - cm.modularity(e, w, lab_lv)) < 1e-9
+    auto = {frozenset(int(x) for x in c)
+            for c in cm.communities_from_edges(e, w, n)}
+    for method in ("lp+merge", "louvain"):
+        for c in cm.communities_from_edges(e, w, n, method=method):
+            assert frozenset(int(x) for x in c) in auto, method

@@ -180,3 +180,39 @@ def test_compacted_expansion_matches_dense():
     np.testing.assert_allclose(np.asarray(xyc)[:n_k],
                                np.asarray(xyd)[ci, ti], rtol=1e-4,
                                atol=1e-3)
+
+
+def test_fused_path_matches_two_phase():
+    """The round-4 fused megakernel (detection -> seeding -> follow ->
+    pack in ONE device program, refpoints._seed_follow_fused) must be
+    seed-for-seed and point-for-point identical to the two-phase path
+    it replaces — including across multiple refpoint chunks (the
+    global seed numbering and post-hoc claim order must agree)."""
+    from edgegraph3d_tpu.matching import matches as mm
+
+    cfg = EdgeGraphConfig().replace(max_polylines_per_view=256,
+                                    max_polyline_len=128,
+                                    max_follow_steps=64)
+    sfmd, edge_imgs, _ = synthetic.make_scene(
+        n_cams=8, n_refpoints_per_curve=12,
+        width=320, height_px=240, focal=400.0, seed=3)
+    stack = extraction.extract_plgs(edge_imgs, cfg)
+    ctx = refpoints.build_context(sfmd, stack, cfg, cell=10.0)
+
+    # refpoint_chunk=64 forces multiple chunks on this 96-refpoint scene
+    seeds_np, seed_ref = refpoints.compute_seeds(
+        sfmd, ctx, 64, max_starting_views=2)
+    man1 = mm.MatchesManager(np.asarray(ctx.plg_length))
+    res1 = refpoints.sweep_seeds(seeds_np, seed_ref, ctx, man1, 512)
+
+    round0, n_seeds = refpoints.compute_and_follow_seeds(
+        sfmd, ctx, 64, max_starting_views=2)
+    man2 = mm.MatchesManager(np.asarray(ctx.plg_length))
+    res2 = refpoints.sweep_seeds(None, None, ctx, man2, 512,
+                                 precomputed=round0)
+
+    assert n_seeds == len(seed_ref)
+    for a, b in zip(res1, res2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    assert man1.counters == man2.counters

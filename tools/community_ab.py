@@ -32,6 +32,7 @@ CFG = EdgeGraphConfig().replace(max_polylines_per_view=256,
                                 max_polyline_len=128, max_follow_steps=64)
 
 SCENES = [
+    dict(kind="cube", n_cams=8, n_refpoints_per_edge=12, seed=7),
     dict(n_cams=6, curves=("helix", "circle", "parabola"),
          n_refpoints_per_curve=16, seed=2),
     dict(n_cams=8, curves=("helix", "circle", "parabola"),
@@ -73,8 +74,11 @@ def med_dist(out, sfmd, curves):
 
 
 def run_one(scene_kw, method):
-    sfmd, edge_imgs, curves = synthetic.make_scene(
-        width=320, height_px=240, focal=400.0, **scene_kw)
+    kw = dict(scene_kw)
+    maker = synthetic.make_cube_scene if kw.pop("kind", None) == "cube" \
+        else synthetic.make_scene
+    sfmd, edge_imgs, curves = maker(
+        width=320, height_px=240, focal=400.0, **kw)
     tap = GraphTap()
     comm_mod.communities_from_edges, orig = tap, \
         comm_mod.communities_from_edges
@@ -88,7 +92,7 @@ def run_one(scene_kw, method):
     med, cov = med_dist(out, sfmd, curves)
     # score the captured stage-1 graph under this method's labels
     q, n_comm = float("nan"), 0
-    if tap.graphs:
+    if tap.graphs and method != "union":
         e, w, n = tap.graphs[0]
         if method == "louvain":
             labels = comm_mod.louvain_host(e, w, n)
@@ -127,8 +131,10 @@ def main():
         "* **lp+merge** — LP + host modularity merge "
         "(the pod-scale arm of config.community_method=\"auto\")",
         "* **louvain** — sequential host Louvain, stand-in for "
-        "grappolo's multi-phase Louvain (louvainMultiPhaseRun.cpp); "
-        "the small-graph arm of \"auto\"",
+        "grappolo's multi-phase Louvain (louvainMultiPhaseRun.cpp)",
+        "* **union** — both partitions swept, overlap deduped by the "
+        "interval claims (config.community_method=\"auto\" at small "
+        "scale — the production default)",
         "",
         "| scene | method | Q (stage-1 graph) | communities | "
         "stage-1 sets | stage-1 points | final edge-points | "
@@ -136,10 +142,12 @@ def main():
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for i, sc in enumerate(SCENES):
-        for method in ("lp", "lp+merge", "louvain"):
+        for method in ("lp", "lp+merge", "louvain", "union"):
             r = run_one(sc, method)
+            label = (f"{len(sc['curves'])} curves"
+                     if "curves" in sc else "cube")
             lines.append(
-                f"| {i} ({len(sc['curves'])} curves, seed "
+                f"| {i} ({label}, seed "
                 f"{sc['seed']}) | {method} | {r['modularity']:.4f} | "
                 f"{r['n_comm']} | {r['stage1_sets']} | "
                 f"{r['stage1_pts']} | {r['total_pts']} | "
@@ -156,14 +164,21 @@ def main():
         "  over-SPLITS (planted-partition microbenchmark in",
         "  tests/test_communities.py: LP+merge == Louvain on every",
         "  seed), not over-merges.",
-        "* Louvain's partitions also score 0.05-0.19 higher Q on the",
-        "  other scenes with equal-or-better final recall.",
+        "* Louvain's partitions score 0.05-0.19 higher Q on the curve",
+        "  scenes — but its RESOLUTION LIMIT merges cube-edge match",
+        "  sets on the cube workload (16 -> 12 sets on the full-size",
+        "  bench scene), and bigger merged sets kill seeds through the",
+        "  downstream unique-triangulation test: bench coverage 0.92",
+        "  vs LP's 1.00.",
+        "* Neither partitioner dominates. The UNION of both partitions",
+        "  recovers each one's misses on every scene (bench coverage",
+        "  1.00 AND the collapsed scene's Louvain recall); overlapping",
+        "  sweeps are deduped by the interval claims.",
         "",
         "**Production default** (`config.community_method = \"auto\"`):",
-        "exact host Louvain for graphs <= 20k nodes (all real scenes;",
-        "ms-cheap, matches grappolo's objective), LP+merge beyond that",
-        "(the device-scalable formulation).  Same policy as the density",
-        "filter's sequential-small / parallel-large split.",
+        "the union of the lp+merge and Louvain partitions for graphs",
+        "<= 20k nodes (all real scenes; Louvain is ms-cheap there),",
+        "LP+merge alone beyond that (the device-scalable formulation).",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(

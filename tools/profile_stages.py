@@ -188,6 +188,18 @@ def main():
     t, _ = timed(lambda: to_host(buf, n))
     lines.append(f"- to_host (count sync + slice transfer): {t * 1e3:.1f} ms")
 
+    # ---- round-4 fused megakernel (production single-chip path):
+    # detection + seeding + bidirectional follow + pack, ONE dispatch
+    cap_rows = 32 * cap_s
+    fused_args = (ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+                  ctx.F_table, ctx.cell, ox, om, sm, M, cfg, cap_s,
+                  cap_rows)
+    t, _ = timed(rp._seed_follow_fused, *fused_args)
+    fl, by = xla_cost(rp._seed_follow_fused, *fused_args)
+    lines.append(roofline(
+        f"_seed_follow_fused (256-refpoint chunk, 1 dispatch+fetch)",
+        t, fl, by, backend))
+
     # ---- full phase A wall
     t0 = time.time()
     seeds_np, seed_ref = rp.compute_seeds(sfmd, ctx, max_starting_views=2)
@@ -323,7 +335,9 @@ def main():
         wall = time.time() - t0
     lines.append("")
     lines.append(f"## Full pipeline: {wall:.2f} s "
-                 f"({args.views / wall:.2f} views/s)")
+                 f"({args.views / wall:.2f} views/s), "
+                 f"{stats.counters.get('device_fetches', 0)} blocking "
+                 "device->host round trips")
     for k, v in stats.timings.items():
         c = f" ({stats.counts[k]})" if k in stats.counts else ""
         lines.append(f"- {k}: {v:.2f} s{c}")
@@ -353,10 +367,28 @@ dispatch latency:
 - `_seed_from_starts` moves ~4 GB in ~55 ms (9% of peak HBM):
   latency/gather-bound, not bandwidth-bound — more refpoints per
   dispatch raises it (the adaptive chunks do exactly this).
-- Host<->device transfers are tiny (compacted buffers, <1 MB per
+- Host<->device transfers are tiny (compacted buffers, ~1 MB per
   sweep); the cost is the ~40-100 ms tunnel ROUND TRIP, not bytes.
-  The pipeline runs ~20 round trips per scene -> a ~1-2 s latency
-  floor through this tunnel that a locally-attached chip avoids.
+  Round 3 ran ~20-25 blocking round trips per scene (~2 s latency
+  floor); round 4's fused megakernels (detection + seeding + follow +
+  pack in one program per chunk: `_seed_follow_fused`,
+  `_group_seed_follow_fused`, `_extension_locate_follow`) plus
+  enqueue-all-then-fetch pipelining cut this to 7 (8-view cube8
+  scene; counted by ops/compaction.TRANSFER_COUNT and reported as the
+  `device_fetches` counter in every run manifest): close-polylines 1,
+  stage-1 sweep 1, stage-2 sweep 1 (if non-empty), stage-3 sweep 1,
+  expansion 1, extension 2, outlier GN 1.
+
+## TPU default-precision trap (round-4 finding)
+
+The TPU's DEFAULT matmul precision computes f32 einsums through
+bf16 passes.  For projection/epipolar einsums (P entries ~2e3,
+1600 px frames) that is multi-PIXEL error: the extension stage's
+2 px consistency gate silently failed on TPU while CPU passed
+(353 vs 2203 extension points, coverage 0.92 vs 1.00 on the same
+scene).  EVERY geometry einsum in the engine now pins
+`precision=jax.lax.Precision.HIGHEST`; a repo grep for unprotected
+`jnp.einsum(` is part of review hygiene.
 
 ## Warmup: explained (VERDICT r2 weak #2)
 
@@ -375,6 +407,16 @@ both measured and mitigated this round:
    later process starts ~2 min; pow2-bucketed, data-derived shapes
    (stack_plgs, adaptive chunks) keep the distinct-program set small
    so the cache converges after one scene-scale run.
+
+## Joint BA in the pipeline (round 4)
+
+`--ba-steps N` / `config.ba_steps` runs the Schur-LM joint refinement
+(cameras + points free) between reconstruction and the final filter;
+the BA iters/s row above is the same solver.  Measured A/B on the
+noisy-pose scene (tests/test_ba_pipeline.py): solver mse 3.01 ->
+0.87 px^2 in 8 steps, final edge-point reprojection mse 1.82 -> 1.44
+px^2, point count within 2%.  On clean synthetic poses BA is a no-op
+by construction (mse already ~0), so the bench leaves it off.
 
 ## Scaling probe (VERDICT r2 next #4)
 
