@@ -1182,41 +1182,52 @@ def expand_and_assemble(ctx: MatchingContext, X, obs3, cams3, refs,
 # ----------------------------------------------------------------------
 
 @jax.jit
-def _locate_on_polylines(plg_coords, plg_length, grids, cell, view_ids,
-                         xy, dir2, reanchor_tol):
-    """(view, xy, image-space direction) -> closest polyline position
-    plus the REMAINING arc length of that polyline in the direction
-    (the xy are known polyline points; cfg.extension_reanchor_px
-    re-anchors them).
-    Returns packed [Q, 6] f32 rows [pl, seg, t, ok, dist, remaining]."""
-    def q(v, pt):
-        return detection.detect_starting_intersections(
-            grids[v], plg_coords[v], pt, cell, reanchor_tol, 1)
-    cand = jax.vmap(q)(view_ids, xy)
-    pl = jnp.maximum(cand.pl_id[:, 0], 0)
-    seg = jnp.maximum(cand.seg[:, 0], 0)
-    coords = plg_coords[view_ids, pl]                      # [Q,L,2]
-    L = coords.shape[1]
-    n_pts = plg_length[view_ids, pl]                       # [Q]
-    seg_vec = coords[:, 1:] - coords[:, :-1]               # [Q,L-1,2]
-    seg_len = jnp.sqrt(jnp.sum(seg_vec ** 2, axis=-1))
-    seg_ok = jnp.arange(L - 1)[None, :] < (n_pts[:, None] - 1)
-    seg_len = jnp.where(seg_ok, seg_len, 0.0)
-    tangent = jnp.take_along_axis(
-        seg_vec, seg[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    fwd = jnp.sum(tangent * dir2, axis=-1) >= 0            # [Q]
-    cum = jnp.cumsum(seg_len, axis=1)
-    total = cum[:, -1]
-    done = jnp.take_along_axis(
-        cum, seg[:, None].astype(jnp.int32), axis=1)[:, 0] \
-        - (1.0 - cand.t[:, 0]) * jnp.take_along_axis(
-            seg_len, seg[:, None].astype(jnp.int32), axis=1)[:, 0]
-    remaining = jnp.where(fwd, total - done, done)
-    f = xy.dtype
-    return jnp.stack([
-        cand.pl_id[:, 0].astype(f), cand.seg[:, 0].astype(f),
-        cand.t[:, 0], cand.valid[:, 0].astype(f),
-        jnp.minimum(cand.dist[:, 0], 1e18), remaining], axis=1)
+def _locate_on_polylines(plg_coords, plg_length, grids, cell, xy_ev,
+                         dir_ev, reanchor_tol):
+    """Per (end, view): closest polyline position plus the REMAINING
+    arc length of that polyline in the image-space direction (the xy
+    are known polyline points; cfg.extension_reanchor_px re-anchors
+    them).  xy_ev/dir_ev are [E, V, 2]; iteration is VIEW-major
+    (lax.map over concrete per-view grid slices) — vmapping `grids[v]`
+    over flat queries materializes a per-query copy of the whole grid
+    ([Q, GH, GW, K, 2]), which the TPU compiler rejects outright at
+    full scale (3.2M queries -> a 1.6 TB allocation).
+    Returns packed [E, V, 6] f32 rows [pl, seg, t, ok, dist, remaining].
+    """
+    E, V = xy_ev.shape[:2]
+    L = plg_coords.shape[2]
+
+    def per_view(v):
+        def q(pt):
+            return detection.detect_starting_intersections(
+                grids[v], plg_coords[v], pt, cell, reanchor_tol, 1)
+        cand = jax.vmap(q)(xy_ev[:, v])
+        pl = jnp.maximum(cand.pl_id[:, 0], 0)
+        seg = jnp.maximum(cand.seg[:, 0], 0)
+        coords = plg_coords[v, pl]                         # [E,L,2]
+        n_pts = plg_length[v, pl]                          # [E]
+        seg_vec = coords[:, 1:] - coords[:, :-1]           # [E,L-1,2]
+        seg_len = jnp.sqrt(jnp.sum(seg_vec ** 2, axis=-1))
+        seg_ok = jnp.arange(L - 1)[None, :] < (n_pts[:, None] - 1)
+        seg_len = jnp.where(seg_ok, seg_len, 0.0)
+        tangent = jnp.take_along_axis(
+            seg_vec, seg[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        fwd = jnp.sum(tangent * dir_ev[:, v], axis=-1) >= 0
+        cum = jnp.cumsum(seg_len, axis=1)
+        total = cum[:, -1]
+        done = jnp.take_along_axis(
+            cum, seg[:, None].astype(jnp.int32), axis=1)[:, 0] \
+            - (1.0 - cand.t[:, 0]) * jnp.take_along_axis(
+                seg_len, seg[:, None].astype(jnp.int32), axis=1)[:, 0]
+        remaining = jnp.where(fwd, total - done, done)
+        f = xy_ev.dtype
+        return jnp.stack([
+            cand.pl_id[:, 0].astype(f), cand.seg[:, 0].astype(f),
+            cand.t[:, 0], cand.valid[:, 0].astype(f),
+            jnp.minimum(cand.dist[:, 0], 1e18), remaining], axis=1)
+
+    out = jax.lax.map(per_view, jnp.arange(V))             # [V,E,6]
+    return jnp.moveaxis(out, 0, 1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "Ep", "cap"))
@@ -1256,12 +1267,9 @@ def _extension_locate_follow(plg_coords, plg_length, grids, P_mats,
     proj2 = proj2[..., :2] / jnp.maximum(proj2[..., 2:3], 1e-9)
     dir2 = (proj2 - proj).astype(f)                            # [E,V,2]
 
-    vq = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :],
-                          (Ep, V)).reshape(-1)
     loc = _locate_on_polylines(
-        plg_coords, plg_length, grids, cell, vq,
-        end_obs_xy.reshape(-1, 2).astype(f), dir2.reshape(-1, 2),
-        cfg.extension_reanchor_px).reshape(Ep, V, 6)
+        plg_coords, plg_length, grids, cell, end_obs_xy.astype(f),
+        dir2, cfg.extension_reanchor_px)                   # [E,V,6]
 
     eligible = m & (loc[..., 3] > 0.5) \
         & (resid < cfg.extension_consistency_px)
