@@ -1359,29 +1359,55 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     X_end = pts.X[e[:, 0]]
     X_prev = pts.X[e[:, 1]]
     away_dir = X_end - X_prev                                # [E,3]
-    Ep = 1 << max(int(np.ceil(np.log2(max(E, 256)))), 0)
+    end_xy = pts.obs_xy[e[:, 0]]
 
-    def padded(a, dt):
-        return jnp.asarray(np.pad(
-            a, ((0, Ep - E),) + ((0, 0),) * (a.ndim - 1)).astype(dt))
+    # chunk the ends: one unbounded dispatch needed 18 GB of HBM at
+    # reference scale (the follow-walk carry buffers scale with Ep);
+    # chunks are enqueued before any fetch so transfers overlap compute
+    cap_e = 16384 if jax.default_backend() != "cpu" else 4096
+    Ec = min(cap_e, 1 << max(int(np.ceil(np.log2(max(E, 256)))), 0))
+    pend = []
+    for lo in range(0, E, Ec):
+        hi = min(lo + Ec, E)
+        pad = Ec - (hi - lo)
 
-    cap = 32 * Ep
-    args = (ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
-            ctx.F_table, ctx.cell, padded(X_end, fdt),
-            padded(X_prev, fdt), padded(pts.obs_xy[e[:, 0]], fdt),
-            padded(m, bool), jnp.asarray(np.arange(Ep) < E))
-    rows_d, n_emit, extra = _extension_locate_follow(*args, cfg, Ep, cap)
-    rows, n_int, extra_np = to_host_with_extra(rows_d, n_emit, extra)
-    if n_int > cap:
-        cap = 2 * Ep * cfg.max_follow_steps
-        rows_d, n_emit, extra = _extension_locate_follow(*args, cfg, Ep,
-                                                         cap)
-        rows, n_int, extra_np = to_host_with_extra(rows_d, n_emit, extra)
-    meta = extra_np[: Ep * 39].reshape(Ep, 39)[:E]
-    tv = extra_np[Ep * 39: Ep * 42].reshape(Ep, 3)[:E].astype(np.int32)
-    loc = extra_np[Ep * 42: Ep * 60].reshape(Ep, 3, 6)[:E]
-    if len(rows) == 0:
+        def padded(a, dt):
+            return jnp.asarray(np.pad(
+                a[lo:hi],
+                ((0, pad),) + ((0, 0),) * (a.ndim - 1)).astype(dt))
+
+        cap = 32 * Ec
+        args = (ctx.plg_coords, ctx.plg_length, ctx.grids, ctx.P_mats,
+                ctx.F_table, ctx.cell, padded(X_end, fdt),
+                padded(X_prev, fdt), padded(end_xy, fdt),
+                padded(m, bool), jnp.asarray(np.arange(Ec) < hi - lo))
+        out = _extension_locate_follow(*args, cfg, Ec, cap)
+        pend.append((lo, hi, args, cap, out))
+
+    rows_l, meta_l, tv_l, loc_l = [], [], [], []
+    for lo, hi, args_c, cap, (rows_d, n_emit, extra) in pend:
+        rows_c, n_int, extra_np = to_host_with_extra(rows_d, n_emit,
+                                                     extra)
+        if n_int > cap:
+            cap = 2 * Ec * cfg.max_follow_steps
+            rows_d, n_emit, extra = _extension_locate_follow(
+                *args_c, cfg, Ec, cap)
+            rows_c, n_int, extra_np = to_host_with_extra(rows_d, n_emit,
+                                                         extra)
+        if len(rows_c):
+            rows_c = rows_c.copy()
+            rows_c[:, 9] += lo            # seed idx -> global end idx
+            rows_l.append(rows_c)
+        meta_l.append(extra_np[: Ec * 39].reshape(Ec, 39)[: hi - lo])
+        tv_l.append(extra_np[Ec * 39: Ec * 42].reshape(Ec, 3)[: hi - lo])
+        loc_l.append(extra_np[Ec * 42: Ec * 60].reshape(Ec, 3, 6)
+                     [: hi - lo])
+    meta = np.concatenate(meta_l)
+    tv = np.concatenate(tv_l).astype(np.int32)
+    loc = np.concatenate(loc_l)
+    if not rows_l:
         return None
+    rows = np.concatenate(rows_l)
 
     # away-from-chain direction filter: the first new 3D point of the
     # kept direction must lie on the far side of the end point
