@@ -114,37 +114,56 @@ def modularity(edges: np.ndarray, weights: np.ndarray,
     return float(2.0 * w_in / two_m - np.sum((sum_tot / two_m) ** 2))
 
 
-def _louvain_one_level(adj: list, deg: np.ndarray,
+def _louvain_one_level(indptr: np.ndarray, nbr: np.ndarray,
+                       w: np.ndarray, deg: np.ndarray,
                        two_m: float) -> np.ndarray:
-    """One sequential local-moving pass: greedily move nodes to the
-    neighbouring community with the best modularity gain until a full
-    sweep makes no move.  Returns labels."""
-    n = len(adj)
+    """One sequential local-moving pass over a CSR adjacency: greedily
+    move nodes to the neighbouring community with the best modularity
+    gain until no move improves.  Active-queue scheduling (a node is
+    revisited only when a neighbour moved) with numpy group-bys per
+    node — the similarity graphs reach millions of edges (2.3M at the
+    49-view workload), where the earlier dict-of-lists formulation
+    cost 60+ s of pure Python.  Deterministic: fixed node order, ties
+    toward the smaller community label."""
+    n = len(deg)
     labels = np.arange(n)
     sum_tot = deg.copy()                       # per-community degree
-    improved = True
-    sweeps = 0
-    while improved and sweeps < 32:
-        improved = False
-        sweeps += 1
-        for i in range(n):
+    active = np.ones(n, dtype=bool)
+    for _ in range(64):
+        idx = np.flatnonzero(active)
+        if len(idx) == 0:
+            break
+        active[:] = False
+        moved = False
+        for i in idx:
+            s, t = indptr[i], indptr[i + 1]
+            if s == t:
+                continue
+            ln = labels[nbr[s:t]]
+            o = np.argsort(ln, kind="stable")
+            lx, wx = ln[o], w[s:t][o]
+            starts = np.flatnonzero(
+                np.concatenate(([True], lx[1:] != lx[:-1])))
+            comms = lx[starts]                 # ascending
+            wc = np.add.reduceat(wx, starts)
             ci = labels[i]
-            # weights to neighbouring communities
-            wc: dict = {}
-            for j, w in adj[i]:
-                wc[labels[j]] = wc.get(labels[j], 0.0) + w
             sum_tot[ci] -= deg[i]
-            best_c, best_gain = ci, wc.get(ci, 0.0) - \
-                deg[i] * sum_tot[ci] / two_m
-            for c, w_ic in wc.items():
-                gain = w_ic - deg[i] * sum_tot[c] / two_m
-                if gain > best_gain + 1e-12 or (
-                        abs(gain - best_gain) <= 1e-12 and c < best_c):
-                    best_c, best_gain = c, gain
-            labels[i] = best_c
-            sum_tot[best_c] += deg[i]
-            if best_c != ci:
-                improved = True
+            gains = wc - deg[i] * sum_tot[comms] / two_m
+            p = np.searchsorted(comms, ci)
+            stay = (gains[p] if p < len(comms) and comms[p] == ci
+                    else -deg[i] * sum_tot[ci] / two_m)
+            j = int(np.argmax(gains))          # first max = smallest c
+            best_c, best_g = int(comms[j]), float(gains[j])
+            move = (best_g > stay + 1e-12
+                    or (abs(best_g - stay) <= 1e-12 and best_c < ci))
+            new_c = best_c if move else ci
+            labels[i] = new_c
+            sum_tot[new_c] += deg[i]
+            if new_c != ci:
+                moved = True
+                active[nbr[s:t]] = True
+        if not moved:
+            break
     return labels
 
 
@@ -165,7 +184,7 @@ def louvain_host(edges: np.ndarray, weights: np.ndarray,
     weights = np.asarray(weights, np.float64)
     ok = (edges[:, 0] >= 0) & (edges[:, 1] >= 0) \
         if len(edges) else np.zeros(0, bool)
-    e, w = edges[ok], weights[ok]
+    e, w = edges[ok].astype(np.int64), weights[ok]
     total_map = np.arange(n_nodes)
     n = n_nodes
     self_w = np.zeros(n)
@@ -176,29 +195,35 @@ def louvain_host(edges: np.ndarray, weights: np.ndarray,
         deg = self_w.copy()
         np.add.at(deg, e[:, 0], w)
         np.add.at(deg, e[:, 1], w)
-        adj: list = [[] for _ in range(n)]
-        for (a, b), ww in zip(e, w):
-            if a != b:
-                adj[a].append((b, ww))
-                adj[b].append((a, ww))
-        lab = _louvain_one_level(adj, deg, two_m)
+        # CSR adjacency (self-loops excluded; they live in deg/self_w)
+        ns = e[:, 0] != e[:, 1]
+        src = np.concatenate([e[ns, 0], e[ns, 1]])
+        dst = np.concatenate([e[ns, 1], e[ns, 0]])
+        ww2 = np.concatenate([w[ns], w[ns]])
+        order = np.argsort(src, kind="stable")
+        indptr = np.searchsorted(src[order], np.arange(n + 1))
+        lab = _louvain_one_level(indptr, dst[order], ww2[order], deg,
+                                 two_m)
         uniq, lab_c = np.unique(lab, return_inverse=True)
         total_map = lab_c[total_map]
         if len(uniq) == n:
             break
-        # aggregate: communities become super-nodes
+        # aggregate: communities become super-nodes (vectorized
+        # group-by on packed pair keys)
         n2 = len(uniq)
-        agg: dict = {}
         self2 = np.zeros(n2)
         np.add.at(self2, lab_c, self_w)
-        for (a, b), ww in zip(lab_c[e], w):
-            if a == b:
-                self2[a] += 2.0 * ww
-            else:
-                key = (min(a, b), max(a, b))
-                agg[key] = agg.get(key, 0.0) + ww
-        e = np.asarray(list(agg.keys()), np.int64).reshape(-1, 2)
-        w = np.asarray(list(agg.values()), np.float64)
+        ec = lab_c[e]
+        lo = np.minimum(ec[:, 0], ec[:, 1])
+        hi = np.maximum(ec[:, 0], ec[:, 1])
+        self_m = lo == hi
+        np.add.at(self2, lo[self_m], 2.0 * w[self_m])
+        key = lo[~self_m] * n2 + hi[~self_m]
+        uk, inv = np.unique(key, return_inverse=True)
+        ws = np.zeros(len(uk))
+        np.add.at(ws, inv, w[~self_m])
+        e = np.stack([uk // n2, uk % n2], axis=1)
+        w = ws
         self_w = self2
         n = n2
     return total_map
@@ -222,13 +247,14 @@ def refine_labels_by_modularity(edges: np.ndarray, weights: np.ndarray,
     n_c = len(uniq)
     if n_c <= 1 or len(e) == 0:
         return np.asarray(labels)
-    agg: dict = {}
     ec = lab_c[e]
-    for (a, b), ww in zip(ec, w):
-        key = (min(a, b), max(a, b))
-        agg[key] = agg.get(key, 0.0) + ww
-    e2 = np.asarray(list(agg.keys()), np.int64).reshape(-1, 2)
-    w2 = np.asarray(list(agg.values()), np.float64)
+    lo = np.minimum(ec[:, 0], ec[:, 1]).astype(np.int64)
+    hi = np.maximum(ec[:, 0], ec[:, 1]).astype(np.int64)
+    key = lo * n_c + hi
+    uk, inv = np.unique(key, return_inverse=True)
+    w2 = np.zeros(len(uk))
+    np.add.at(w2, inv, w)
+    e2 = np.stack([uk // n_c, uk % n_c], axis=1)
     merged = louvain_host(e2, w2, n_c)
     return merged[lab_c]
 

@@ -526,7 +526,12 @@ def compute_and_follow_seeds(sfmd: SfMData, ctx: MatchingContext,
     # small pipelined chunks instead of one overflowing monster.
     svr = float(start_mask.sum(axis=1).mean()) if N else 1.0
     est_per_ref = max(1.0, 2.0 * svr)
-    fit = max(64, int(4096 / est_per_ref))
+    # accelerators amortize the walk's serial per-iteration overhead
+    # over wide chunks (the 49-view run spent 191 s on 98 narrow
+    # chunks); CPU keeps narrow chunks — its lockstep while_loop wastes
+    # work on the slowest lane
+    seed_target = 16384 if jax.default_backend() != "cpu" else 4096
+    fit = max(64, int(seed_target / est_per_ref))
     refpoint_chunk = min(refpoint_chunk,
                          1 << max(fit - 1, 1).bit_length())
 
@@ -1364,7 +1369,7 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     # chunk the ends: one unbounded dispatch needed 18 GB of HBM at
     # reference scale (the follow-walk carry buffers scale with Ep);
     # chunks are enqueued before any fetch so transfers overlap compute
-    cap_e = 16384 if jax.default_backend() != "cpu" else 4096
+    cap_e = 32768 if jax.default_backend() != "cpu" else 4096
     Ec = min(cap_e, 1 << max(int(np.ceil(np.log2(max(E, 256)))), 0))
     pend = []
     for lo in range(0, E, Ec):
