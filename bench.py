@@ -1,18 +1,13 @@
-"""Benchmark harness: dtu-scale synthetic reconstruction throughput.
+"""Benchmark harness: reference-scale synthetic reconstruction.
 
-Prints ONE JSON line:
-    {"metric": "views_per_s", "value": N, "unit": "views/s",
-     "vs_baseline": M}
-
-Workload: a dtu006-like synthetic scene — 1600x1200 binary edge images
-rendered from 3D cube+curve geometry, ring cameras with varied heights,
-~600 SfM refpoints — run through the full pipeline (PLG extraction,
-grids/F-matrices, stage-3 refpoint matching with chain following,
-density + GN outlier filters).  dtu006's own input.json is stripped
-from the reference mirror, so this synthetic workload is the standing
-proxy; its image size, view count and refpoint density mirror the real
-example (reference: example/dtu006 — 49 views, 1600x1200, 6268
-refpoints; scaled by --views/--refpoints).
+Prints ONE stdout JSON line (the headline).  Default workload =
+**full scale**: 49 views @1600x1200, 6268 refpoints, reconstruction
+from EVERY viewing cam (the reference's all-viewing-cams loop,
+plg_matching_from_refpoints.cpp:64-81) — the shape of the reference's
+one shipped example (example/dtu006; its input.json is stripped from
+the mirror, so the synthetic proxy with ground-truth curves is the
+standing fixture).  A secondary `trend:` JSON line on stderr runs the
+8-view capped cube workload benched since round 1.
 
 Two baselines are reported (both measured on this machine):
 
@@ -106,7 +101,8 @@ def quality_metrics(out_sfmd, in_sfmd, curves):
 
 
 def run_workload(sfmd, edge_imgs, curves, n_views: int,
-                 max_starting_views, verbose=True, mesh_devices=0):
+                 max_starting_views, verbose=True, mesh_devices=0,
+                 warm_scene=None):
     """Steady-state throughput: one warmup pass (same jit shapes — the
     padding budgets make every device program's shape independent of the
     refpoint count) triggers all compiles / executable loads, then the
@@ -133,13 +129,17 @@ def run_workload(sfmd, edge_imgs, curves, n_views: int,
     # real-data configuration
     cfg = EdgeGraphConfig().replace(max_follow_steps=128)
 
-    # warmup: the FULL workload once, so the measured pass is pure
-    # steady state — every compile, executable load, and transfer-shape
-    # bucket is exercised by identical shapes (a subsampled warmup
-    # leaves shape-dependent programs cold in the measured pass)
+    # warmup so the measured pass is pure steady state.  Default: the
+    # FULL workload once (identical shapes).  With `warm_scene` (the
+    # full-scale workload's quarter-refpoint variant): every jit shape
+    # is scene-size-INDEPENDENT by construction — chunk widths come
+    # from the start-mask density and pow2 buckets, not N — so the
+    # cheap scene exercises the same executables at ~1/4 the work.
     t0 = time.time()
     warm_stats = PipelineStats()
-    run_pipeline(sfmd, edge_imgs, cfg,
+    w_sfmd, w_edges = (sfmd, edge_imgs) if warm_scene is None \
+        else warm_scene
+    run_pipeline(w_sfmd, w_edges, cfg,
                  max_starting_views=max_starting_views, mesh=mesh,
                  stats=warm_stats)
     if verbose:
@@ -273,10 +273,17 @@ def main():
         msv = None
     else:
         msv = None if full else 2
+    warm_scene = None
     if full:
         views = args.views or 49
         sfmd, edge_imgs, curves = build_full_workload(
             views, args.refpoints, args.width, args.height)
+        if args.refpoints >= 4000:
+            # quarter-scale warmup scene: identical jit shapes (chunk
+            # sizing is N-independent), ~1/4 the warmup wall
+            w_sfmd, w_edges, _ = build_full_workload(
+                views, args.refpoints // 4, args.width, args.height)
+            warm_scene = (w_sfmd, w_edges)
     else:
         views = args.views or 8
         sfmd, edge_imgs, curves = build_workload(
@@ -285,7 +292,8 @@ def main():
           f"{sfmd.n_points} refpoints, max_starting_views="
           f"{msv if msv is not None else 'all'}", file=sys.stderr)
     wall, qual = run_workload(sfmd, edge_imgs, curves, views, msv,
-                              mesh_devices=args.mesh_devices)
+                              mesh_devices=args.mesh_devices,
+                              warm_scene=warm_scene)
     views_per_s = views / wall
 
     if args.probe_cpu:

@@ -1371,6 +1371,11 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     # chunks are enqueued before any fetch so transfers overlap compute
     cap_e = 32768 if jax.default_backend() != "cpu" else 4096
     Ec = min(cap_e, 1 << max(int(np.ceil(np.log2(max(E, 256)))), 0))
+    if jax.default_backend() != "cpu" and Ec > 4096:
+        # two stable buckets on accelerators (<=4096 pow2, else the
+        # cap): scene-size-dependent in-between shapes would each pay
+        # a minutes-long remote compile through the TPU tunnel
+        Ec = cap_e
     pend = []
     for lo in range(0, E, Ec):
         hi = min(lo + Ec, E)

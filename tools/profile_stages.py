@@ -408,6 +408,27 @@ both measured and mitigated this round:
    (stack_plgs, adaptive chunks) keep the distinct-program set small
    so the cache converges after one scene-scale run.
 
+## Pallas / layout probe (round 4 — SURVEY §7 step 3 closed)
+
+`python tools/pallas_probe.py` on the real chip (16384 rows x 256
+data-dependent chained gather steps, the walk's access pattern):
+
+- xla-nested `[V,P,L,2]` gather: 21.5 GB/s
+- xla-flat   `[V*P,2L]`  gather: 28.9 GB/s  (layout repack = 1.35x)
+- pallas DMA-per-row kernel:      9.6 GB/s  (LOSES 3x to XLA)
+
+Reading: the follow walk's per-step random 512-byte row reads run at
+~3% of HBM peak — DRAM-LATENCY-bound, and the data-dependent step
+chain cannot pipeline across iterations.  A hand-written Pallas
+gather (8 async HBM->VMEM copies per grid step) is 3x slower than
+XLA's native gather, so Pallas does NOT pay for this op; the
+repacked one-row-per-polyline layout is the real (modest) lever, and
+the dominant remaining cost is the serial iteration structure itself
+(fewer, wider chunks amortize it — see the chunk-sizing notes).
+Earlier probe versions measured "6 TB/s": XLA hoists loop-invariant
+gathers and factors sum(gather(f,r)) into gather(rowsum(f),r) —
+benchmark walks must chain indices through the gathered DATA.
+
 ## Joint BA in the pipeline (round 4)
 
 `--ba-steps N` / `config.ba_steps` runs the Schur-LM joint refinement
