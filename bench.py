@@ -43,12 +43,16 @@ import numpy as np
 # 2026-08-21: 1.7877 views/s (4.5s) — pow2 auto-sized shapes, L=64
 #   budgets, threaded extraction, adaptive chunks (same-code CPU gains
 #   from every one of these)
-CPU_BASELINE_VIEWS_PER_S = 1.7877
+# 2026-08-21 (round 4): 1.7588 views/s (4.5s) — union communities +
+#   fused megakernels (CPU shares both); uncontended  <- CURRENT
+CPU_BASELINE_VIEWS_PER_S = 1.7588
 FROZEN_R1_CPU_VIEWS_PER_S = 0.2835
-# full-scale workload (49 views @1600x1200, 6268 refpoints, uncapped
-# starting views) same-code CPU baseline, measured with
-# `python bench.py --probe-cpu --no-trend` on this host; see BASELINE.md.
-# None until measured -> vs_baseline omitted.
+# Full-scale workload (49 views @1600x1200, 6268 refpoints, uncapped
+# starting views) same-code CPU baseline: the CPU could NOT complete
+# even ONE full-scale pass inside the round's measurement budget
+# (>104 min wall, intermittently contended, vs 7.5-8.6 min TPU
+# steady) — see BASELINE.md "full-scale CPU bound".  None -> the
+# headline reports vs_baseline: null rather than an unmeasured number.
 FULL_CPU_BASELINE_VIEWS_PER_S = None
 
 
