@@ -142,6 +142,11 @@ def main():
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for i, sc in enumerate(SCENES):
+        # drop compiled executables between scenes: XLA:CPU LLVM OOMs
+        # (cgroup memory limit) once a few dozen large programs
+        # accumulate in one process — same vector tests/conftest.py
+        # guards against
+        jax.clear_caches()
         for method in ("lp", "lp+merge", "louvain", "union"):
             r = run_one(sc, method)
             label = (f"{len(sc['curves'])} curves"
