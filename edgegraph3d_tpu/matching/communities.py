@@ -100,18 +100,26 @@ def modularity(edges: np.ndarray, weights: np.ndarray,
         return 0.0
     ok = (edges[:, 0] >= 0) & (edges[:, 1] >= 0)
     e, w = edges[ok], weights[ok]
-    two_m = 2.0 * w.sum()
+    # self-loops: A_ii appears ONCE in Newman's sum over ij (and once
+    # in 2m / k_i), while an undirected non-self edge contributes twice
+    # — counting loop weight at full doubled weight over-credits w_in
+    # (louvain_host's aggregation phases emit self-loops, so the scorer
+    # must handle them; same convention as its two_m/deg bookkeeping)
+    sl = e[:, 0] == e[:, 1]
+    w_self = w[sl].sum()
+    two_m = 2.0 * w[~sl].sum() + w_self
     if two_m <= 0:
         return 0.0
     deg = np.zeros(labels.shape[0])
-    np.add.at(deg, e[:, 0], w)
-    np.add.at(deg, e[:, 1], w)
-    same = labels[e[:, 0]] == labels[e[:, 1]]
-    w_in = w[same].sum()                      # undirected intra weight
+    np.add.at(deg, e[~sl, 0], w[~sl])
+    np.add.at(deg, e[~sl, 1], w[~sl])
+    np.add.at(deg, e[sl, 0], w[sl])
+    same = (labels[e[:, 0]] == labels[e[:, 1]]) & ~sl
+    w_in = 2.0 * w[same].sum() + w_self       # intra weight, Newman count
     n_comm = labels.max() + 1
     sum_tot = np.zeros(int(n_comm) + 1)
     np.add.at(sum_tot, labels, deg)
-    return float(2.0 * w_in / two_m - np.sum((sum_tot / two_m) ** 2))
+    return float(w_in / two_m - np.sum((sum_tot / two_m) ** 2))
 
 
 def _louvain_one_level(indptr: np.ndarray, nbr: np.ndarray,

@@ -1248,8 +1248,9 @@ def _extension_locate_follow(plg_coords, plg_length, grids, P_mats,
 
     X_end/X_prev [Ep,3], end_obs_xy [Ep,V,2], m [Ep,V] (observed at
     both end and neighbour), valid_e [Ep].  Returns (rows, n_emit,
-    extra = flat[meta (Ep*39), tv (Ep*3), loc_sel (Ep*18),
-    ok_e (Ep)])."""
+    extra = flat[meta (Ep*39), tv (Ep*3), loc_sel (Ep*18)]) — the
+    host loop infers per-end validity from meta/rows, so ok_e is not
+    part of the fetched payload."""
     from edgegraph3d_tpu.matching import following
 
     V = P_mats.shape[0]
@@ -1298,7 +1299,7 @@ def _extension_locate_follow(plg_coords, plg_length, grids, P_mats,
         fwd, bwd, seeds.valid, 1, cap)
     extra = jnp.concatenate([
         jnp.ravel(meta).astype(f), jnp.ravel(tv).astype(f),
-        jnp.ravel(loc_sel).astype(f), ok_e.astype(f)])
+        jnp.ravel(loc_sel).astype(f)])
     return rows, n_emit, extra
 
 

@@ -35,21 +35,20 @@ from edgegraph3d_tpu.ops import ba as ba_ops
 from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
 from edgegraph3d_tpu.parallel.mesh import SHARD_AXIS
 
-#: mesh -> {(wrapper name, hashable params) -> jitted shard_map}.
-#: Weak-keyed on the mesh so dropping a Mesh releases every compiled
-#: executable built for it (an unbounded strong dict retained meshes +
-#: their jitted closures for the process lifetime — sessions creating
-#: many meshes, e.g. tests, leaked them).
-import weakref
-
-_FN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
 def _cached(mesh, key, build):
-    per = _FN_CACHE.get(mesh)
-    if per is None:
-        per = {}
-        _FN_CACHE[mesh] = per
+    """Per-mesh cache of jitted shard_maps, stored ON the mesh object.
+
+    The jitted values close over the mesh, so any module-level table
+    holding them keeps the mesh alive — round 4's WeakKeyDictionary
+    never collected an entry because its own values referenced their
+    keys (the documented value->key pitfall; JAX also interns Mesh
+    objects, so "same" meshes share one identity).  Attaching the dict
+    to the mesh instead makes mesh -> dict -> fn -> mesh a pure
+    reference cycle with no external root: the cyclic GC frees the
+    whole group (mesh, cache, compiled executables) as soon as the
+    caller drops the mesh.  Interning is a feature here: rebuilding an
+    identical Mesh reuses the cached executables."""
+    per = mesh.__dict__.setdefault("_eg3d_fn_cache", {})
     fn = per.get(key)
     if fn is None:
         fn = jax.jit(build())
