@@ -130,8 +130,15 @@ def run_workload(sfmd, edge_imgs, curves, n_views: int,
 
     # padding budgets at the audited defaults (tools/capacity_audit.py:
     # zero drops on real dtu006), so the headline number reflects the
-    # real-data configuration
-    cfg = EdgeGraphConfig().replace(max_follow_steps=128)
+    # real-data configuration.  max_follow_steps=32: the walk loop's
+    # per-iteration cost is paid by EVERY seed lane until the longest
+    # chain in the chunk terminates, so short round-0 sweeps + the
+    # continuation rounds (which re-follow only the few survivors,
+    # compacted, direction-pinned) cover long chains at a fraction of
+    # the wall (round-5 probe: the T=128 walk was ~2.5 s of a 5.3 s
+    # stage-3 chunk).  Chains up to 32*(1+8 rounds) = 288 steps still
+    # complete; longer ones are counted (chains_truncated).
+    cfg = EdgeGraphConfig().replace(max_follow_steps=32)
 
     # warmup so the measured pass is pure steady state.  Default: the
     # FULL workload once (identical shapes).  With `warm_scene` (the

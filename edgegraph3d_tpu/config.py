@@ -197,15 +197,19 @@ class EdgeGraphConfig:
     grid_cell_capacity: int = 8
     #: per-refpoint candidate intersections per view
     max_candidates_per_view: int = 4
-    #: stage-1 community method (communities.py): "auto" = exact host
-    #: Louvain on small graphs (<= 20k nodes), LP + modularity merge at
-    #: pod scale; also "louvain" / "lp" / "lp+merge".  Measured against
-    #: the grappolo stand-in in COMMUNITIES.md +
-    #: tests/test_communities.py: on real similarity graphs plain LP
-    #: over-merges (one scene collapses to a single community, stage-1
-    #: recall lost); Louvain matches grappolo's objective exactly
+    #: stage-1 community method (communities.py): "auto" = "union3" —
+    #: sweep the union of the lp+merge, Louvain, and raw-LP partitions
+    #: (interval claims dedup the overlap); the Louvain arm runs the
+    #: deterministic batch-parallel local-moving pass (grappolo's own
+    #: parallel design) above communities.LOUVAIN_MAX_NODES, so the
+    #: union holds at pod scale.  Also "louvain" / "lp" / "lp+merge" /
+    #: "union".  Measured against the grappolo objective in
+    #: COMMUNITIES.md + tests/test_communities.py: no single
+    #: partitioner dominates (LP collapses some scenes, Louvain's
+    #: resolution limit merges others, raw LP wins some cluttered
+    #: scenes) — the union recovers each arm's misses.
     #: (ref: driverForGraphClustering_edited.cpp:50-170,
-    #: louvainMultiPhaseRun.cpp).
+    #: louvainMultiPhaseRun.cpp, parallelLouvainWithColoring.cpp).
     community_method: str = "auto"
     #: stage-1 similarity graph: close polylines kept per (refpoint,
     #: view).  The reference's close set is unbounded

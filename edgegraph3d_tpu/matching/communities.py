@@ -32,40 +32,38 @@ def label_propagation(edges: jnp.ndarray, weights: jnp.ndarray,
     Invalid edges are marked with node id -1 and ignored.
 
     Sparse formulation: per round, directed-edge contributions are
-    grouped by (receiver, sender-label) with a sort + segment-sum, then
-    reduced per receiver with scatter-max (score) and scatter-min
-    (tie-break toward the smaller label).  O(E log E) per round — no
-    dense [n, n] scoreboard.
+    grouped by (receiver, sender-label) with a two-key lexsort +
+    segment-sum, then reduced per receiver with scatter-max (score) and
+    scatter-min (tie-break toward the smaller label).  O(E log E) per
+    round — no dense [n, n] scoreboard, no packed sort key (the round-4
+    int32 key capped n_nodes at ~46k; lexsort removes the limit for
+    pod-scale graphs).
     """
-    # the (src, label) sort key below is src*(n_nodes+1)+label; int32 is
-    # exact for all realistic graph sizes (polyline-node counts are in
-    # the thousands) — int64 would silently truncate to int32 on TPU
-    # anyway (x64 disabled) and warn every run
-    if (n_nodes + 1) * (n_nodes + 1) >= 2 ** 31:
-        raise ValueError(f"label_propagation: n_nodes={n_nodes} too "
-                         "large for the int32 (src, label) sort key")
     valid = (edges[:, 0] >= 0) & (edges[:, 1] >= 0)
     w = jnp.where(valid, weights, 0.0)
     src = jnp.concatenate([edges[:, 0], edges[:, 1]])
     dst = jnp.concatenate([edges[:, 1], edges[:, 0]])
     ww = jnp.concatenate([w, w]).astype(jnp.float32)
-    src = jnp.maximum(src, 0)
-    dst = jnp.maximum(dst, 0)
+    src = jnp.maximum(src, 0).astype(jnp.int32)
+    dst = jnp.maximum(dst, 0).astype(jnp.int32)
     E2 = src.shape[0]
     NEG = jnp.float32(-1.0)
 
     def step(labels, _):
         lab_v = labels[dst]
-        key = src.astype(jnp.int32) * jnp.int32(n_nodes + 1) + lab_v
-        order = jnp.argsort(key)
-        ks = key[order]
+        order = jnp.lexsort((lab_v, src))
+        g_src_all = src[order]
+        g_lab_all = lab_v[order]
         ws = ww[order]
-        start = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+        start = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (g_src_all[1:] != g_src_all[:-1])
+             | (g_lab_all[1:] != g_lab_all[:-1])])
         gid = jnp.cumsum(start) - 1                       # group index
         gsum = jax.ops.segment_sum(ws, gid, num_segments=E2)
         # representative (src, label) per group, read at group starts
-        g_src = jnp.where(start, (ks // (n_nodes + 1)).astype(jnp.int32), 0)
-        g_lab = jnp.where(start, (ks % (n_nodes + 1)).astype(jnp.int32), 0)
+        g_src = jnp.where(start, g_src_all, 0)
+        g_lab = jnp.where(start, g_lab_all, 0)
         g_score = gsum[gid] * start                       # score at starts
         # best score per receiver
         best = jnp.full((n_nodes,), NEG).at[g_src].max(
@@ -175,24 +173,135 @@ def _louvain_one_level(indptr: np.ndarray, nbr: np.ndarray,
     return labels
 
 
-def louvain_host(edges: np.ndarray, weights: np.ndarray,
-                 n_nodes: int, max_phases: int = 10) -> np.ndarray:
-    """Sequential multi-phase Louvain (host-side, test/tool-only).
+def _louvain_one_level_parallel(indptr: np.ndarray, nbr: np.ndarray,
+                                w: np.ndarray, deg: np.ndarray,
+                                two_m: float, n_batches: int = 16,
+                                max_sweeps: int = 24) -> np.ndarray:
+    """Batch-parallel local moving — the vectorized stand-in for
+    grappolo's PARALLEL Louvain (reference:
+    external/grappolo-05-2014/parallelLouvainWithColoring.cpp,
+    parallelLouvainMethod.cpp): nodes are processed in deterministic
+    batches; within a batch every node evaluates its best move against
+    the labels at batch start and all moves apply simultaneously
+    (grappolo's coloring serves the same purpose — bounded staleness;
+    its threaded updates are nondeterministic, this is reproducible).
+    Fully vectorized numpy — no per-node Python loop, so the
+    2-host-core sequential pass (112 s on the 3M-edge full-scale
+    similarity graph) becomes a few group-by sweeps (~1 s).
 
-    The measurement baseline standing in for grappolo's
-    runMultiPhaseLouvainAlgorithm (reference:
+    Same move rule as the sequential pass: gain = wc - k_i*sum_tot[c]/2m
+    with the node's own degree removed from its community, move on
+    strictly better gain (ties toward the smaller community id)."""
+    n = len(deg)
+    labels = np.arange(n)
+    sum_tot = deg.copy()
+    counts = np.diff(indptr)
+    flat_node = np.repeat(np.arange(n), counts)       # [F]
+    rng = np.random.default_rng(0)
+    batch_of = rng.integers(0, n_batches, n)          # deterministic
+    active = np.ones(n, dtype=bool)
+    for _ in range(max_sweeps):
+        if not active.any():
+            break
+        moved_any = False
+        for b in range(n_batches):
+            sel = active & (batch_of == b)
+            idx = np.flatnonzero(sel)
+            if len(idx) == 0:
+                continue
+            # flat adjacency rows of the batch
+            rs = indptr[idx]
+            re = indptr[idx + 1]
+            ln = re - rs
+            F = int(ln.sum())
+            if F == 0:
+                active[idx] = False
+                continue
+            node_of = np.repeat(np.arange(len(idx)), ln)
+            flat = _flat_ranges(rs, re, F)
+            lab_n = labels[nbr[flat]]
+            wv = w[flat]
+            # group by (batch-node, neighbour label)
+            key = node_of.astype(np.int64) * n + lab_n
+            uk, inv = np.unique(key, return_inverse=True)
+            wc = np.bincount(inv, weights=wv)
+            g_node = (uk // n).astype(np.int64)
+            g_lab = (uk % n).astype(np.int64)
+            gi = idx[g_node]
+            ci = labels[gi]
+            st_adj = sum_tot[g_lab] - deg[gi] * (g_lab == ci)
+            gains = wc - deg[gi] * st_adj / two_m
+            # stay gain per batch node (0 when ci absent from nbrs)
+            stay = -deg[idx] * (sum_tot[ci_b := labels[idx]]
+                                - deg[idx]) / two_m
+            own = g_lab == ci
+            stay_present = np.zeros(len(idx))
+            stay_present[g_node[own]] = gains[own]
+            has_own = np.zeros(len(idx), dtype=bool)
+            has_own[g_node[own]] = True
+            stay = np.where(has_own, stay_present, stay)
+            # best move per batch node: max gain, ties -> smaller label
+            order = np.lexsort((g_lab, -gains, g_node))
+            first = np.concatenate(
+                [[True], g_node[order][1:] != g_node[order][:-1]])
+            top = order[first]
+            bn = g_node[top]
+            best_c = g_lab[top]
+            best_g = gains[top]
+            mv = (best_g > stay[bn] + 1e-12) \
+                | ((np.abs(best_g - stay[bn]) <= 1e-12)
+                   & (best_c < ci_b[bn]))
+            mv &= best_c != ci_b[bn]
+            movers = idx[bn[mv]]
+            if len(movers):
+                moved_any = True
+                newc = best_c[mv]
+                np.subtract.at(sum_tot, labels[movers], deg[movers])
+                np.add.at(sum_tot, newc, deg[movers])
+                labels[movers] = newc
+                # wake the movers' neighbours
+                ms, me = indptr[movers], indptr[movers + 1]
+                wake = _flat_ranges(ms, me, int((me - ms).sum()))
+                active[nbr[wake]] = True
+            active[idx] = False
+        if not moved_any:
+            break
+    return labels
+
+
+def _flat_ranges(starts: np.ndarray, ends: np.ndarray,
+                 total: int) -> np.ndarray:
+    """Concatenate integer ranges [starts[i], ends[i]) — vectorized."""
+    ln = ends - starts
+    out = np.repeat(starts, ln)
+    off = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(ln)[:-1]]), ln)
+    return out + off
+
+
+def louvain_host(edges: np.ndarray, weights: np.ndarray,
+                 n_nodes: int, max_phases: int = 10,
+                 parallel: bool | None = None) -> np.ndarray:
+    """Multi-phase Louvain (host-side), the union's modularity arm.
+
+    Stands in for grappolo's runMultiPhaseLouvainAlgorithm (reference:
     external/grappolo-05-2014/louvainMultiPhaseRun.cpp,
     parallelLouvainMethod.cpp): local moving to a modularity local
     optimum, aggregate communities into super-nodes, repeat until no
-    phase merges anything.  Original implementation (plain greedy
-    Louvain); NOT the production path — the engine uses device label
-    propagation above, and tools/community_ab.py records the measured
-    quality gap between the two."""
+    phase merges anything.  `parallel` picks the local-moving pass:
+    False = exact sequential (`_louvain_one_level`, the measurement
+    baseline; O(n) Python loop per sweep — 112 s on the full-scale
+    3M-edge graph), True = deterministic batch-parallel
+    (`_louvain_one_level_parallel`, grappolo's actual parallel design,
+    fully vectorized — the production path at scale), None/auto =
+    sequential below LOUVAIN_MAX_NODES, parallel above."""
     edges = np.asarray(edges)
     weights = np.asarray(weights, np.float64)
     ok = (edges[:, 0] >= 0) & (edges[:, 1] >= 0) \
         if len(edges) else np.zeros(0, bool)
     e, w = edges[ok].astype(np.int64), weights[ok]
+    if parallel is None:
+        parallel = n_nodes > LOUVAIN_MAX_NODES or len(e) > 500_000
     total_map = np.arange(n_nodes)
     n = n_nodes
     self_w = np.zeros(n)
@@ -210,8 +319,9 @@ def louvain_host(edges: np.ndarray, weights: np.ndarray,
         ww2 = np.concatenate([w[ns], w[ns]])
         order = np.argsort(src, kind="stable")
         indptr = np.searchsorted(src[order], np.arange(n + 1))
-        lab = _louvain_one_level(indptr, dst[order], ww2[order], deg,
-                                 two_m)
+        level = _louvain_one_level_parallel if parallel \
+            else _louvain_one_level
+        lab = level(indptr, dst[order], ww2[order], deg, two_m)
         uniq, lab_c = np.unique(lab, return_inverse=True)
         total_map = lab_c[total_map]
         if len(uniq) == n:
@@ -284,10 +394,14 @@ def communities_from_edges(edges: np.ndarray, weights: np.ndarray,
     community_detection_interface.cpp:57-73: cluster id per node).
 
     Methods, measured in COMMUNITIES.md / tests/test_communities.py:
-      * "louvain"  — exact sequential host Louvain (grappolo-quality
-        partition; the stage-1 graphs are small, so this costs ms)
+      * "louvain"  — host Louvain (grappolo-quality partition;
+        sequential local moving on small graphs, deterministic
+        batch-parallel — grappolo's own parallel design — above
+        LOUVAIN_MAX_NODES, so the arm survives pod-scale graphs)
       * "lp"       — device label propagation (scales to pod-size
-        graphs; over-merges on ~1/4 of real similarity graphs)
+        graphs; over-merges on ~1/4 of real similarity graphs, but its
+        raw partition WINS on some cluttered scenes — COMMUNITIES.md
+        scene 0: raw-LP coverage 0.724 vs union's 0.591)
       * "lp+merge" — LP + host modularity merge (fixes LP's
         over-SPLITS; cannot fix over-merges)
       * "union"    — union of the "lp+merge" and "louvain" partitions'
@@ -298,24 +412,19 @@ def communities_from_edges(edges: np.ndarray, weights: np.ndarray,
         through the downstream uniqueness test.  Sweeping BOTH
         partitions recovers each one's misses; the interval claims
         dedup the overlap (measured in COMMUNITIES.md).
-      * "auto"     — union at <= LOUVAIN_MAX_NODES, else lp+merge
-        (production default, config.community_method)
+      * "union3"   — union + the raw-LP partition as a third arm
+        (production default via "auto"; closes the measured raw-LP
+        gap above at the cost of one more swept partition — overlap
+        still deduped by the interval claims)
+      * "auto"     — union3 at every scale (the Louvain arm switches
+        to the batch-parallel pass on big graphs)
     """
     if len(edges) == 0 or n_nodes == 0:
         return []
     if method == "auto":
-        method = "union" if n_nodes <= LOUVAIN_MAX_NODES else "lp+merge"
-    if method == "union":
-        a = communities_from_edges(edges, weights, n_nodes, n_iters,
-                                   min_size, method="lp+merge")
-        b = communities_from_edges(edges, weights, n_nodes, n_iters,
-                                   min_size, method="louvain")
-        seen = {frozenset(int(x) for x in c) for c in a}
-        return a + [c for c in b
-                    if frozenset(int(x) for x in c) not in seen]
-    if method == "louvain":
-        labels = louvain_host(edges, weights, n_nodes)
-    else:
+        method = "union3"
+
+    def run_lp():
         # pad shapes to powers of two so compiled executables are
         # reused across scenes (and across the persistent compile cache)
         E_pad = 1 << int(np.ceil(np.log2(max(len(edges), 1))))
@@ -324,14 +433,39 @@ def communities_from_edges(edges: np.ndarray, weights: np.ndarray,
         edges_p[: len(edges)] = edges
         weights_p = np.zeros(E_pad, dtype=np.float32)
         weights_p[: len(weights)] = weights
-        labels = np.asarray(label_propagation(
+        return np.asarray(label_propagation(
             jnp.asarray(edges_p), jnp.asarray(weights_p),
             n_pad, n_iters))[:n_nodes]
+
+    def to_comms(labels):
+        out = []
+        for lab in np.unique(labels):
+            members = np.flatnonzero(labels == lab)
+            if len(members) >= min_size:
+                out.append(members)
+        return out
+
+    if method in ("union", "union3"):
+        # one LP run feeds both the lp+merge arm and (union3) the
+        # raw-LP arm — LP is the expensive device pass at scale
+        lp_labels = run_lp()
+        a = to_comms(refine_labels_by_modularity(edges, weights,
+                                                 lp_labels))
+        b = to_comms(louvain_host(edges, weights, n_nodes))
+        if method == "union3":
+            b = b + to_comms(lp_labels)
+        seen = {frozenset(int(x) for x in c) for c in a}
+        out3 = list(a)
+        for c in b:
+            key = frozenset(int(x) for x in c)
+            if key not in seen:
+                seen.add(key)
+                out3.append(c)
+        return out3
+    if method == "louvain":
+        labels = louvain_host(edges, weights, n_nodes)
+    else:
+        labels = run_lp()
         if method == "lp+merge":
             labels = refine_labels_by_modularity(edges, weights, labels)
-    out = []
-    for lab in np.unique(labels):
-        members = np.flatnonzero(labels == lab)
-        if len(members) >= min_size:
-            out.append(members)
-    return out
+    return to_comms(labels)

@@ -67,25 +67,27 @@ def _topm_distinct(pl_ids: jnp.ndarray, dist: jnp.ndarray, seg: jnp.ndarray,
     )
 
 
-def detect_starting_intersections(grid: jnp.ndarray, coords: jnp.ndarray,
-                                  pt: jnp.ndarray, cell: float,
+def detect_starting_intersections(grid: jnp.ndarray, pt: jnp.ndarray,
+                                  cell: float,
                                   starting_dist: float, M: int,
                                   radius_cells: int = 1) -> Candidates:
     """Top-M distinct polylines whose closest point to `pt` is within
-    `starting_dist`.  grid [GH,GW,K,2]; coords [P,L,2] (view's polylines).
+    `starting_dist`.  grid [GH,GW,K,ENTRY_COLS] (segment endpoints live
+    IN the grid entries — one contiguous gather per query, see
+    grid.ENTRY_COLS).
     """
-    entries = gather_neighborhood(grid, pt, cell, radius_cells)   # [C,2]
-    pl = entries[:, 0]
-    sg = entries[:, 1]
+    entries = gather_neighborhood(grid, pt, cell, radius_cells)   # [C,6]
+    pl = entries[:, 0].astype(jnp.int32)
+    sg = entries[:, 1].astype(jnp.int32)
     ok = pl >= 0
-    a = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0)]
-    b = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0) + 1]
+    a = entries[:, 2:4]
+    b = entries[:, 4:6]
     d, t, proj = point_segment_distance(pt, a, b)
     d = jnp.where(ok & (d <= starting_dist), d, BIG)
     return _topm_distinct(pl, d, sg, t, proj, M)
 
 
-def detect_epipolar_correspondences(grid: jnp.ndarray, coords: jnp.ndarray,
+def detect_epipolar_correspondences(grid: jnp.ndarray,
                                     obs_pt: jnp.ndarray, line: jnp.ndarray,
                                     cell: float, radius: jnp.ndarray,
                                     M: int, radius_cells: int = 2,
@@ -100,11 +102,11 @@ def detect_epipolar_correspondences(grid: jnp.ndarray, coords: jnp.ndarray,
     exclude-parallel variants, plg_edge_manager_closest_only.cpp:199-300;
     M=1 gives its closest-only selection)."""
     entries = gather_neighborhood(grid, obs_pt, cell, radius_cells)
-    pl = entries[:, 0]
-    sg = entries[:, 1]
+    pl = entries[:, 0].astype(jnp.int32)
+    sg = entries[:, 1].astype(jnp.int32)
     ok = pl >= 0
-    a = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0)]
-    b = coords[jnp.maximum(pl, 0), jnp.maximum(sg, 0) + 1]
+    a = entries[:, 2:4]
+    b = entries[:, 4:6]
     # segment x line intersection
     sa = a[:, 0] * line[0] + a[:, 1] * line[1] + line[2]
     sb = b[:, 0] * line[0] + b[:, 1] * line[1] + line[2]

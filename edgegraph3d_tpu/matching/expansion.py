@@ -81,7 +81,7 @@ from edgegraph3d_tpu.ops.geometry import project_depth
 from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
 
 
-def _expand_candidates(grid_v, coords_v, proj, line, cell, tol: float,
+def _expand_candidates(grid_v, proj, line, cell, tol: float,
                        mode: str, qp_cos: float = 0.965):
     """Per-query expansion candidate on one view.
 
@@ -90,7 +90,7 @@ def _expand_candidates(grid_v, coords_v, proj, line, cell, tol: float,
     where ok = unique anchor polyline within tol (the reference's
     find_unique_polyline_potentially_within_search_dist demand)."""
     cl = jax.vmap(lambda pt: detection.detect_starting_intersections(
-        grid_v, coords_v, pt, cell, tol, 2))(proj)
+        grid_v, pt, cell, tol, 2))(proj)
     pl = cl.pl_id[:, 0]
     seg = cl.seg[:, 0]
     t = cl.t[:, 0]
@@ -107,7 +107,7 @@ def _expand_candidates(grid_v, coords_v, proj, line, cell, tol: float,
         # amplify discretization error; those points use the fallback
         ep = jax.vmap(
             lambda pt, ln: detection.detect_epipolar_correspondences(
-                grid_v, coords_v, pt, ln, cell, tol, 4,
+                grid_v, pt, ln, cell, tol, 4,
                 exclude_parallel_cos=qp_cos))(proj, line)
         same = ep.valid & (ep.pl_id == pl[:, None])        # [Q,4]
         has = jnp.any(same, axis=1)
@@ -237,7 +237,7 @@ def expand_chains_sweep(plg_coords, grids, P_mats, F_table, cell: float,
         ln = jnp.sqrt(line[..., 0] ** 2 + line[..., 1] ** 2)
         line = line / jnp.maximum(ln, 1e-20)[..., None]
         pl, seg, t, xy, uq = _expand_candidates(
-            grids[v], plg_coords[v], flat(proj), flat(line), cell, tol,
+            grids[v], flat(proj), flat(line), cell, tol,
             cfg.expand_correspondence_mode, cfg.quasiparallel_cos)
         c_pl = pl.reshape(C, T)
         c_seg = seg.reshape(C, T)
@@ -353,7 +353,7 @@ def expand_chains_compact(plg_coords, grids, P_mats, F_table, cell: float,
         ln = jnp.sqrt(line[..., 0] ** 2 + line[..., 1] ** 2)
         line = line / jnp.maximum(ln, 1e-20)[..., None]
         c_pl, c_seg, c_t, c_xy, uq = _expand_candidates(
-            grids[v], plg_coords[v], proj, line, cell, tol,
+            grids[v], proj, line, cell, tol,
             cfg.expand_correspondence_mode, cfg.quasiparallel_cos)
         is_tuple = jnp.any(cam_rows == v, axis=1)          # [K]
         c_ok = uq & (depth > 0) & ~is_tuple & item_ok

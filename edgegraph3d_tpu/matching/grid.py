@@ -22,11 +22,22 @@ from edgegraph3d_tpu.plgs.polyline_graph import PLGStack
 BIG = 1e30
 
 
+#: grid entry layout: (polyline_id, seg_idx, ax, ay, bx, by) as f32.
+#: Carrying the segment ENDPOINTS in the entry makes every device query
+#: a single contiguous per-cell gather — the earlier (pl, seg)-only
+#: entries forced a second RANDOM 8-byte gather into coords[pl, seg]
+#: per candidate (measured: the epipolar-correspondence kernel spent
+#: ~6 s/chunk at full scale, dominated by exactly those reads).  ids
+#: as f32 are exact below 2^24 (P <= 8192, L <= 64).
+ENTRY_COLS = 6
+
+
 def build_segment_grid(coords: np.ndarray, length: np.ndarray,
                        width: float, height: float, cell: float,
                        capacity: int) -> np.ndarray:
-    """One view: coords [P,L,2], length [P] -> grid [GH,GW,capacity,2]
-    int32 (polyline_id, seg_idx), -1 padded.
+    """One view: coords [P,L,2], length [P] -> grid
+    [GH,GW,capacity,ENTRY_COLS] f32 (pl, seg, ax, ay, bx, by), pl=-1
+    padded.
 
     Every segment is sampled at cell/2 spacing so long (simplified)
     segments register in every cell they traverse (the reference
@@ -38,7 +49,8 @@ def build_segment_grid(coords: np.ndarray, length: np.ndarray,
     seg_valid = (np.arange(L - 1)[None, :] < (length[:, None] - 1))
     pids, sids = np.nonzero(seg_valid)
     if len(pids) == 0:
-        return np.full((GH, GW, capacity, 2), -1, dtype=np.int32)
+        return np.full((GH, GW, capacity, ENTRY_COLS), -1.0,
+                       dtype=np.float32)
     a = coords[pids, sids]
     b = coords[pids, sids + 1]
     seg_len = np.linalg.norm(b - a, axis=1)
@@ -73,9 +85,13 @@ def build_segment_grid(coords: np.ndarray, length: np.ndarray,
         grp_start, np.diff(np.concatenate([grp_start, [len(cell_id)]])))
     keep = slot < capacity
 
-    grid = np.full((GH * GW, capacity, 2), -1, dtype=np.int32)
-    grid[cell_id[keep], slot[keep]] = entry[keep]
-    return grid.reshape(GH, GW, capacity, 2)
+    grid = np.full((GH * GW, capacity, ENTRY_COLS), -1.0,
+                   dtype=np.float32)
+    ek = entry[keep]
+    grid[cell_id[keep], slot[keep], 0:2] = ek
+    grid[cell_id[keep], slot[keep], 2:4] = coords[ek[:, 0], ek[:, 1]]
+    grid[cell_id[keep], slot[keep], 4:6] = coords[ek[:, 0], ek[:, 1] + 1]
+    return grid.reshape(GH, GW, capacity, ENTRY_COLS)
 
 
 def build_grids(stack: PLGStack, widths: np.ndarray, heights: np.ndarray,
@@ -97,7 +113,9 @@ def gather_neighborhood(grid: jnp.ndarray, pt: jnp.ndarray, cell: float,
                         radius_cells: int = 1) -> jnp.ndarray:
     """Entries of the (2r+1)^2 cells around `pt`.
 
-    grid [GH,GW,K,2], pt [2] -> [(2r+1)^2 * K, 2] (invalid = -1).
+    grid [GH,GW,K,ENTRY_COLS], pt [2] -> [(2r+1)^2 * K, ENTRY_COLS]
+    (invalid = pl column -1); contiguous per-cell reads, no follow-up
+    coordinate gathers (see ENTRY_COLS).
     """
     GH, GW, K, _ = grid.shape
     cx = jnp.clip((pt[0] / cell).astype(jnp.int32), 0, GW - 1)
@@ -106,8 +124,8 @@ def gather_neighborhood(grid: jnp.ndarray, pt: jnp.ndarray, cell: float,
     offs = jnp.arange(-radius_cells, radius_cells + 1)
     ys = jnp.clip(cy + offs, 0, GH - 1)
     xs = jnp.clip(cx + offs, 0, GW - 1)
-    block = grid[ys[:, None], xs[None, :]]        # [n,n,K,2]
-    return block.reshape(n * n * K, 2)
+    block = grid[ys[:, None], xs[None, :]]        # [n,n,K,ENTRY_COLS]
+    return block.reshape(n * n * K, block.shape[-1])
 
 
 def point_segment_distance(pt: jnp.ndarray, a: jnp.ndarray,

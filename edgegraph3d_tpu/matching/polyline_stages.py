@@ -63,7 +63,7 @@ def _close_polylines_chunk(plg_coords, grids, cell: float, obs_xy,
     def per_view(v):
         def q(pt):
             return detection.detect_starting_intersections(
-                grids[v], plg_coords[v], pt, cell, within_dist, M)
+                grids[v], pt, cell, within_dist, M)
         return jax.vmap(q)(obs_xy[:, v])
     cand = jax.lax.map(per_view, jnp.arange(V))
     cand = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), cand)  # [N,V,M]
@@ -189,6 +189,118 @@ def closeness_match_sets(sfmd: SfMData, ctx: MatchingContext,
 # Stage 1: similarity graph + communities
 # ----------------------------------------------------------------------
 
+#: device similarity-graph kernel limits: above U_CAP_MAX nodes the
+#: dense [U, U] intersection matrix would exceed ~4 GB and the host
+#: path takes over (at the reference's full scale U ~ 12k)
+_U_CAP_MAX = 32768
+
+
+@partial(jax.jit, static_argnames=("N_pad", "U_cap", "E_cap"))
+def _similarity_edges_device(nn, u_idx, slot_ok, w_ref, obs_mask_f,
+                             view_of_u, N_pad: int, U_cap: int,
+                             E_cap: int):
+    """Similarity-graph edges as DENSE MXU matmuls.
+
+    The clique-pair semantics (polyline_matcher.cpp:244-327) factor
+    exactly: with B [N, U] the refpoint-x-node close-incidence matrix,
+      inter_w[a, b] = sum_n w_ref[n] B[n,a] B[n,b]  =  (B^T diag(w) B)
+      SA[a, v]      = sum_n w_ref[n] B[n,a] obs[n,v] = (B^T diag(w) Obs)
+      union_w[a,b]  = SA[a, view(b)] + SA[b, view(a)] - inter_w[a,b]
+      w_edge        = inter_w / union_w            (weighted Jaccard)
+    — the 32M-pair host group-by (20.8 s + 7.2 s dedup at full scale on
+    2 cores) becomes two ~2 TFLOP matmuls (~tens of ms on the MXU, the
+    engine's only matmul-shaped hot spot).  Upper-triangle positive
+    entries are stream-compacted to [E_cap, 3] rows (ia, ib, w_edge);
+    n_edges > E_cap is reported for the (counted) host fallback.
+
+    nn/u_idx [nnz_cap] padded scatter coordinates of B's ones,
+    slot_ok their validity, w_ref [N_pad], obs_mask_f [N_pad, V],
+    view_of_u [U_cap]."""
+    from edgegraph3d_tpu.ops.compaction import compact_rows
+    B = jnp.zeros((N_pad, U_cap), jnp.float32)
+    B = B.at[jnp.where(slot_ok, nn, N_pad),
+             jnp.where(slot_ok, u_idx, 0)].set(1.0, mode="drop")
+    Bw = B * w_ref[:, None]
+    # DEFAULT (bf16-pass) precision is deliberate here, overriding the
+    # package-wide HIGHEST pin: operands are 0/1 incidences times
+    # refpoint weights, the result only ranks community edges, and the
+    # ~0.4% bf16 relative error is far below the Jaccard weights' own
+    # modelling noise — while full-precision passes would cost ~6x the
+    # MXU time on the two [U, N] x [N, U] products.
+    mxu = jax.lax.Precision.DEFAULT
+    inter = jax.lax.dot(B.T, Bw, precision=mxu)        # [U, U]
+    SA = jax.lax.dot(Bw.T, obs_mask_f, precision=mxu)  # [U, V]
+    SA_vb = SA[:, view_of_u]                           # SA[a, view(b)]
+    union = SA_vb + SA_vb.T - inter
+    w_edge = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12),
+                       0.0)
+    iu = jnp.arange(U_cap)
+    keep = (iu[:, None] < iu[None, :]) & (inter > 0) & (w_edge > 0)
+    payload = jnp.stack(
+        [jnp.broadcast_to(iu[:, None].astype(jnp.float32),
+                          (U_cap, U_cap)),
+         jnp.broadcast_to(iu[None, :].astype(jnp.float32),
+                          (U_cap, U_cap)),
+         w_edge.astype(jnp.float32)], axis=-1).reshape(-1, 3)
+    return compact_rows(keep.reshape(-1), payload, E_cap)
+
+
+def _similarity_edges_host(node, valid, w_ref, obs_mask, used, nn, vv,
+                           mm, u_idx, V: int, P_cnt: int):
+    """Host (numpy) similarity-edge build — the CPU-backend path and
+    the overflow/oversize fallback of _similarity_edges_device (same
+    semantics; clique pairs per refpoint then weighted-Jaccard, see
+    similarity_match_sets docstring).  Returns (edges, weights) or
+    None."""
+    N = valid.shape[0]
+    M = valid.shape[2]
+    U = len(used)
+    # per-(node, view) weight sums restricted by visibility:
+    # SA[u, v2] = sum of w_ref over refpoints close to u, visible on v2
+    SA = np.zeros((U, V), dtype=np.float64)
+    np.add.at(SA, u_idx, w_ref[nn, None] * obs_mask[nn])
+
+    # clique edges per refpoint, chunked over refpoints
+    K = V * M
+    slots_i, slots_j = np.triu_indices(K, k=1)
+    node_flat = node.reshape(N, K)
+    valid_flat = valid.reshape(N, K)
+    keys_acc, inter_acc = [], []
+    chunk = 512
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        a = node_flat[lo:hi, slots_i]
+        b = node_flat[lo:hi, slots_j]
+        ok = valid_flat[lo:hi, slots_i] & valid_flat[lo:hi, slots_j]
+        sel = np.nonzero(ok)
+        if len(sel[0]) == 0:
+            continue
+        aa, bb = a[sel], b[sel]
+        lo_n, hi_n = np.minimum(aa, bb), np.maximum(aa, bb)
+        keys_acc.append(lo_n.astype(np.int64) * (V * P_cnt) + hi_n)
+        inter_acc.append(w_ref[lo + sel[0]])
+    if not keys_acc:
+        return None
+    keys = np.concatenate(keys_acc)
+    contrib = np.concatenate(inter_acc)
+    uniq_keys, inv = np.unique(keys, return_inverse=True)
+    inter_w = np.bincount(inv, weights=contrib)             # [E]
+    ea = (uniq_keys // (V * P_cnt)).astype(np.int64)
+    eb = (uniq_keys % (V * P_cnt)).astype(np.int64)
+    ia = np.searchsorted(used, ea)
+    ib = np.searchsorted(used, eb)
+    va = (ea // P_cnt).astype(np.int64)
+    vb = (eb // P_cnt).astype(np.int64)
+    union_w = SA[ia, vb] + SA[ib, va] - inter_w
+    w_edge = np.where(union_w > 0, inter_w / np.maximum(union_w, 1e-12),
+                      0.0)
+    keep = w_edge > 0.0
+    if not keep.any():
+        return None
+    return (np.stack([ia[keep], ib[keep]], axis=1).astype(np.int32),
+            w_edge[keep].astype(np.float32))
+
+
 def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
                           max_sets: int | None = None) -> list[np.ndarray]:
     """Polyline-compatibility communities (parity:
@@ -234,52 +346,46 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
         return []
     U = len(used)
 
-    # per-(node, view) weight sums restricted by visibility:
-    # SA[u, v2] = sum of w_ref over refpoints close to u and visible on v2
     nn, vv, mm = np.nonzero(valid)
     u_idx = np.searchsorted(used, node[nn, vv, mm])
-    SA = np.zeros((U, V), dtype=np.float64)
-    np.add.at(SA, u_idx, w_ref[nn, None] * obs_mask[nn])
 
-    # clique edges per refpoint, chunked over refpoints
-    K = V * M
-    slots_i, slots_j = np.triu_indices(K, k=1)
-    node_flat = node.reshape(N, K)
-    valid_flat = valid.reshape(N, K)
-    keys_acc, inter_acc = [], []
-    chunk = 512
-    for lo in range(0, N, chunk):
-        hi = min(lo + chunk, N)
-        a = node_flat[lo:hi, slots_i]
-        b = node_flat[lo:hi, slots_j]
-        ok = valid_flat[lo:hi, slots_i] & valid_flat[lo:hi, slots_j]
-        sel = np.nonzero(ok)
-        if len(sel[0]) == 0:
-            continue
-        aa, bb = a[sel], b[sel]
-        lo_n, hi_n = np.minimum(aa, bb), np.maximum(aa, bb)
-        keys_acc.append(lo_n.astype(np.int64) * (V * P_cnt) + hi_n)
-        inter_acc.append(w_ref[lo + sel[0]])
-    if not keys_acc:
+    res = None
+    if jax.default_backend() != "cpu" and U <= _U_CAP_MAX:
+        # device path: the whole pair/Jaccard build as two MXU matmuls
+        # (see _similarity_edges_device); host only sees the compacted
+        # unique edge list
+        from edgegraph3d_tpu.ops.compaction import to_host
+        N_pad = 1 << max(N - 1, 1).bit_length()
+        U_cap = max(1024, 1 << max(U - 1, 1).bit_length())
+        nnz = len(nn)
+        nnz_cap = 1 << max(nnz - 1, 1).bit_length()
+        E_cap = 1 << 22
+        w_ref_p = np.zeros(N_pad, np.float32)
+        w_ref_p[:N] = w_ref
+        obs_f = np.zeros((N_pad, V), np.float32)
+        obs_f[:N] = obs_mask
+        view_of_u = np.zeros(U_cap, np.int32)
+        view_of_u[:U] = (used // P_cnt).astype(np.int32)
+        buf, n_e = _similarity_edges_device(
+            jnp.asarray(np.pad(nn.astype(np.int32), (0, nnz_cap - nnz))),
+            jnp.asarray(np.pad(u_idx.astype(np.int32),
+                               (0, nnz_cap - nnz))),
+            jnp.asarray(np.arange(nnz_cap) < nnz),
+            jnp.asarray(w_ref_p), jnp.asarray(obs_f),
+            jnp.asarray(view_of_u), N_pad, U_cap, E_cap)
+        rows, n_int = to_host(buf, n_e)
+        if n_int <= E_cap:   # else: counted overflow -> host fallback
+            edges = rows[:, 0:2].astype(np.int32)
+            weights = rows[:, 2].astype(np.float32)
+            res = (edges, weights)
+    if res is None:
+        res = _similarity_edges_host(node, valid, w_ref, obs_mask, used,
+                                     nn, vv, mm, u_idx, V, P_cnt)
+        if res is None:
+            return []
+    edges, weights = res
+    if len(edges) == 0:
         return []
-    keys = np.concatenate(keys_acc)
-    contrib = np.concatenate(inter_acc)
-    uniq_keys, inv = np.unique(keys, return_inverse=True)
-    inter_w = np.bincount(inv, weights=contrib)             # [E]
-    ea = (uniq_keys // (V * P_cnt)).astype(np.int64)
-    eb = (uniq_keys % (V * P_cnt)).astype(np.int64)
-    ia = np.searchsorted(used, ea)
-    ib = np.searchsorted(used, eb)
-    va = (ea // P_cnt).astype(np.int64)
-    vb = (eb // P_cnt).astype(np.int64)
-    union_w = SA[ia, vb] + SA[ib, va] - inter_w
-    w_edge = np.where(union_w > 0, inter_w / np.maximum(union_w, 1e-12),
-                      0.0)
-    keep = w_edge > 0.0
-    if not keep.any():
-        return []
-    edges = np.stack([ia[keep], ib[keep]], axis=1).astype(np.int32)
-    weights = w_edge[keep].astype(np.float32)
 
     comms = comm_mod.communities_from_edges(
         edges, weights, U, min_size=3, method=cfg.community_method)
@@ -437,7 +543,7 @@ def _group_seed_follow_fused(plg_coords, plg_length, P_mats, F_table,
     sets + bidirectional follow + packed emission in ONE device
     program (the group analog of refpoints._seed_follow_fused; same
     dispatch-latency rationale).  Returns (rows, n_rows, extra =
-    flat[meta (cap_s*39), seed_buf (cap_s*22), n_seeds])."""
+    flat[meta (cap_s*40), seed_buf (cap_s*22), n_seeds])."""
     from edgegraph3d_tpu.matching import following
     from edgegraph3d_tpu.matching.refpoints import _pack_seed_outputs
 
@@ -472,7 +578,8 @@ def group_seeds_and_follow(groups: list[np.ndarray],
     megakernel, then fetch — one blocking round trip per chunk (see
     refpoints.compute_and_follow_seeds).  Returns (round0 list for
     sweep_seeds(precomputed=...), n_seeds_total)."""
-    from edgegraph3d_tpu.matching.refpoints import _chunk_from_seed_buf
+    from edgegraph3d_tpu.matching.refpoints import _M_GNOVF, \
+        _chunk_from_seed_buf
     from edgegraph3d_tpu.ops.compaction import to_host, \
         to_host_with_extra
 
@@ -509,10 +616,11 @@ def group_seeds_and_follow(groups: list[np.ndarray],
     for lo, gc, gp, gm, (rows_buf, n_emit, extra) in pend:
         rows, n_rows, extra_np = to_host_with_extra(rows_buf, n_emit,
                                                     extra)
-        meta = extra_np[: cap_s * 39].reshape(cap_s, 39)
-        sbuf = extra_np[cap_s * 39: cap_s * 61].reshape(cap_s, 22)
-        n_seeds = int(extra_np[cap_s * 61])
-        if n_seeds > cap_s or n_rows > cap_rows:
+        meta = extra_np[: cap_s * 40].reshape(cap_s, 40)
+        sbuf = extra_np[cap_s * 40: cap_s * 62].reshape(cap_s, 22)
+        n_seeds = int(extra_np[cap_s * 62])
+        if n_seeds > cap_s or n_rows > cap_rows \
+                or meta[0, _M_GNOVF] > 0:
             # rare dense chunk: full-width two-phase fallback
             from edgegraph3d_tpu.matching.refpoints import \
                 _follow_seed_rows, _pack_seed_outputs

@@ -83,16 +83,26 @@ class AdvanceResult(NamedTuple):
 def advance_by_distance(coords: jnp.ndarray, length: jnp.ndarray,
                         plp: PLPoint, direction: jnp.ndarray,
                         radius: float) -> AdvanceResult:
+    """[L,2]-coords wrapper over advance_by_distance_xy."""
+    return advance_by_distance_xy(coords[:, 0], coords[:, 1], length,
+                                  plp, direction, radius)
+
+
+def advance_by_distance_xy(px: jnp.ndarray, py: jnp.ndarray,
+                           length: jnp.ndarray,
+                           plp: PLPoint, direction: jnp.ndarray,
+                           radius: float) -> AdvanceResult:
     """Next point along the walk at euclidean distance `radius` from the
     current point (parity: next_pl_point_by_distance — the first circle
     crossing in walk order; reaching the extreme first -> flag).
 
     Component (x/y) math on [L] vectors: a trailing coordinate dim of 2
     tiles to 128 TPU lanes and wastes 64x the VPU (see
-    gauss_newton_batched)."""
-    L = coords.shape[0]
-    px = coords[:, 0]
-    py = coords[:, 1]
+    gauss_newton_batched).  The px/py interface lets hot callers gather
+    polylines in the flat [row, 2L] layout (x block then y block) —
+    contiguous 128-lane rows instead of the stride-2 nested [L,2] form
+    (PROFILE.md layout probe: 1.35x on the walk's gather pattern)."""
+    L = px.shape[0]
     cx, cy = plp.xy[0], plp.xy[1]
     d2 = (px - cx) ** 2 + (py - cy) ** 2                       # [L]
     idx = jnp.arange(L - 1)
@@ -176,15 +186,27 @@ def next_intersection_bounded(coords: jnp.ndarray, length: jnp.ndarray,
                               min_dist: float, max_dist: float,
                               quasi_cos: float = 0.965,
                               quasi_dist: float = 5.0) -> IntersectResult:
+    """[L,2]-coords wrapper over next_intersection_bounded_xy."""
+    return next_intersection_bounded_xy(
+        coords[:, 0], coords[:, 1], length, plp, direction, line,
+        min_dist, max_dist, quasi_cos, quasi_dist)
+
+
+def next_intersection_bounded_xy(px: jnp.ndarray, py: jnp.ndarray,
+                                 length: jnp.ndarray,
+                                 plp: PLPoint, direction: jnp.ndarray,
+                                 line: jnp.ndarray,
+                                 min_dist: float, max_dist: float,
+                                 quasi_cos: float = 0.965,
+                                 quasi_dist: float = 5.0
+                                 ) -> IntersectResult:
     """First intersection of the walk with an epipolar line; euclidean
     distance from the current point must land in [min_dist, max_dist]
     (parity: next_pl_point_by_line_intersection_bounded_distance,
     polyline_graph_2d.cpp:666-790).  Pass max_dist=inf for the unbounded
-    variant (:579-664)."""
-    L = coords.shape[0]
+    variant (:579-664).  px/py interface: see advance_by_distance_xy."""
+    L = px.shape[0]
     idx = jnp.arange(L - 1)
-    px = coords[:, 0]
-    py = coords[:, 1]
     ax, bx = px[:-1], px[1:]
     ay, by = py[:-1], py[1:]
     has, s, quasi = _segments_line_intersection_xy(

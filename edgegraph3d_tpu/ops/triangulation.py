@@ -37,36 +37,44 @@ _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 # DLT triangulation
 # ----------------------------------------------------------------------
 
-def triangulate_dlt(P: jnp.ndarray, xy: jnp.ndarray,
-                    mask: jnp.ndarray) -> jnp.ndarray:
-    """Homogeneous N-view DLT.
+def p_soa(P_obs: jnp.ndarray) -> list:
+    """[N,O,3,4] per-observation cameras -> nested [O][3][4] lists of
+    [N] component vectors (the internal SoA layout of every solver in
+    this module).
 
-    P: [..., O, 3, 4], xy: [..., O, 2], mask: [..., O] -> X [..., 3].
+    WHY callers want this form: a GATHERED [N,3,4] f32 on TPU tiles to
+    T(4,128) — 43x padding, 51 GB at N=8.4M (measured; a broadcast of
+    the same shape fuses for free, which is why the padded full-width
+    paths never hit it).  Compacted paths gather the 36 entries as
+    separate [N] vectors instead."""
+    Pc = jnp.moveaxis(P_obs, 0, -1)                 # [O,3,4,N]
+    O = P_obs.shape[1]
+    return [[[Pc[o, r, c] for c in range(4)] for r in range(3)]
+            for o in range(O)]
+
+
+def triangulate_dlt_soa(P: list, ox: list, oy: list, mf: list
+                        ) -> jnp.ndarray:
+    """Homogeneous N-view DLT, SoA interface.
+
+    P: [O][3][4] nested lists of [N] vectors, ox/oy/mf: [O] lists of
+    [N] vectors (mf float validity weights) -> X [N, 3].
     Rows (x*P3 - P1), (y*P3 - P2) per view; smallest eigenvector of
     A^T A via ridged inverse iteration with a closed-form 4x4 Cholesky
     (replaces cv::triangulatePoints' SVD).
-
-    Structure-of-arrays like gauss_newton_batched: every quantity is a
-    plain [N] component vector, tiny dims unrolled in Python — TPU
-    tiling pads trailing dims of 2/3/4 to (8, 128), so the tensor
-    formulation wastes the VPU.
     """
-    dtype = P.dtype
-    batch_shape = mask.shape[:-1]
-    O = mask.shape[-1]
-    Pf = P.reshape((-1, O, 3, 4))
-    xyf = xy.reshape((-1, O, 2))
-    mff = mask.reshape((-1, O)).astype(dtype)
-    Pc = jnp.moveaxis(Pf, 0, -1)                    # [O,3,4,N]
+    O = len(P)
+    N = ox[0].shape[0]
+    dtype = ox[0].dtype
 
     ata = [[None] * 4 for _ in range(4)]
     for a in range(4):
         for b in range(a, 4):
-            ata[a][b] = jnp.zeros(Pf.shape[0], dtype)
+            ata[a][b] = jnp.zeros(N, dtype)
     for o in range(O):
-        p = [[Pc[o, r, c] for c in range(4)] for r in range(3)]
-        m = mff[:, o]
-        for (coord, prow) in ((xyf[:, o, 0], 0), (xyf[:, o, 1], 1)):
+        p = P[o]
+        m = mf[o]
+        for (coord, prow) in ((ox[o], 0), (oy[o], 1)):
             row = [coord * p[2][c] - p[prow][c] for c in range(4)]
             nrm = jnp.sqrt(row[0] ** 2 + row[1] ** 2 + row[2] ** 2
                            + row[3] ** 2)
@@ -95,7 +103,7 @@ def triangulate_dlt(P: jnp.ndarray, xy: jnp.ndarray,
     L44 = sq(ata[3][3] - L41 * L41 - L42 * L42 - L43 * L43)
 
     nv = float(np.sqrt(1.0 + 1.0 + 1.0 + 1.5 ** 2))
-    v = [jnp.full(Pf.shape[0], c / nv, dtype) for c in (1.0, 1.0, 1.0, 1.5)]
+    v = [jnp.full(N, c / nv, dtype) for c in (1.0, 1.0, 1.0, 1.5)]
     for _ in range(4):
         y1 = v[0] / L11
         y2 = (v[1] - L21 * y1) / L22
@@ -110,7 +118,27 @@ def triangulate_dlt(P: jnp.ndarray, xy: jnp.ndarray,
         v = [x1 / n, x2 / n, x3 / n, x4 / n]
     w = jnp.where(jnp.abs(v[3]) < 1e-12,
                   jnp.where(v[3] < 0, -1e-12, 1e-12), v[3])
-    X = jnp.stack([v[0] / w, v[1] / w, v[2] / w], axis=-1)
+    return jnp.stack([v[0] / w, v[1] / w, v[2] / w], axis=-1)
+
+
+def triangulate_dlt(P: jnp.ndarray, xy: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous N-view DLT, tensor interface.
+
+    P: [..., O, 3, 4], xy: [..., O, 2], mask: [..., O] -> X [..., 3].
+    Thin wrapper over triangulate_dlt_soa (see p_soa for why the SoA
+    core exists)."""
+    dtype = P.dtype
+    batch_shape = mask.shape[:-1]
+    O = mask.shape[-1]
+    Pf = P.reshape((-1, O, 3, 4))
+    xyf = xy.reshape((-1, O, 2))
+    mff = mask.reshape((-1, O)).astype(dtype)
+    X = triangulate_dlt_soa(
+        p_soa(Pf),
+        [xyf[:, o, 0] for o in range(O)],
+        [xyf[:, o, 1] for o in range(O)],
+        [mff[:, o] for o in range(O)])
     return X.reshape(batch_shape + (3,))
 
 
@@ -143,17 +171,18 @@ def triangulate_pair_minmax(P_obs: jnp.ndarray, xy: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("max_iters", "epsilon", "accept_mse",
                                    "det_min"))
-def gauss_newton_batched(
-    P_obs: jnp.ndarray,      # [N, O, 3, 4] per-observation cameras
-    xy: jnp.ndarray,         # [N, O, 2]    observed 2D points
-    mask: jnp.ndarray,       # [N, O]       valid observations
+def gauss_newton_soa(
+    P: list,                 # [O][3][4] nested lists of [N] vectors
+    ox: list,                # [O] lists of [N] observed x
+    oy: list,                # [O] lists of [N] observed y
+    mf: list,                # [O] lists of [N] float validity weights
     X0: jnp.ndarray,         # [N, 3]       initial 3D points
     max_iters: int = 30,
     epsilon: float = 5e-7,
     accept_mse: float = 9.0,
     det_min: float = 1e-5,
 ):
-    """Refine all points at once; returns (X, mse, valid).
+    """Refine all points at once, SoA interface; returns (X, mse, valid).
 
     Semantics follow em_GaussNewton exactly (triangulation.cpp:105-176):
     per-point early stop when the mse change drops below `epsilon`
@@ -164,22 +193,17 @@ def gauss_newton_batched(
 
     TPU layout: STRUCTURE-OF-ARRAYS.  Tensors shaped [N, O, 3, 4] with
     tiny trailing dims waste almost all VPU lanes (the two minor dims
-    tile to (8, 128)); unpacking the observation/coordinate dims into
-    plain [N] component vectors up front makes every iteration pure
-    [N]-lane elementwise math — measured ~100x faster per iteration at
-    N ~ 5e5 than the [N,O,2,3] einsum formulation on a v5e.
+    tile to (8, 128)); plain [N] component vectors make every iteration
+    pure [N]-lane elementwise math — measured ~100x faster per
+    iteration at N ~ 5e5 than the [N,O,2,3] einsum formulation on a
+    v5e.  (See p_soa: gathered compacted paths also NEED this form —
+    a materialized gathered [N,3,4] tiles at 43x padding.)
     """
     dtype = X0.dtype
-    N, O = mask.shape
-    n_obs = jnp.maximum(jnp.sum(mask, axis=-1), 1).astype(dtype)   # [N]
-
-    # one transpose each, then everything is [O (python), ...][N]
-    Pc = jnp.moveaxis(P_obs, 0, -1)            # [O,3,4,N]
-    ox = [xy[:, o, 0] for o in range(O)]
-    oy = [xy[:, o, 1] for o in range(O)]
-    mf = [mask[:, o].astype(dtype) for o in range(O)]
-    P = [[[Pc[o, r, c] for c in range(4)] for r in range(3)]
-         for o in range(O)]
+    O = len(P)
+    N = X0.shape[0]
+    mask_sum = sum(m for m in mf)                                  # [N]
+    n_obs = jnp.maximum(mask_sum, 1.0).astype(dtype)
 
     def proj_o(o, x, y, z):
         p = P[o]
@@ -260,8 +284,31 @@ def gauss_newton_batched(
         cond, body, (jnp.int32(0), X0[:, 0], X0[:, 1], X0[:, 2], zero,
                      frozen0, frozen0))
     X = jnp.stack([x, y, z], axis=-1)
-    valid = (~singular) & (last_mse < accept_mse) & (jnp.sum(mask, axis=-1) >= 2)
+    valid = (~singular) & (last_mse < accept_mse) & (mask_sum >= 2)
     return X, last_mse, valid
+
+
+def gauss_newton_batched(
+    P_obs: jnp.ndarray,      # [N, O, 3, 4] per-observation cameras
+    xy: jnp.ndarray,         # [N, O, 2]    observed 2D points
+    mask: jnp.ndarray,       # [N, O]       valid observations
+    X0: jnp.ndarray,         # [N, 3]       initial 3D points
+    max_iters: int = 30,
+    epsilon: float = 5e-7,
+    accept_mse: float = 9.0,
+    det_min: float = 1e-5,
+):
+    """Tensor-interface wrapper over gauss_newton_soa (same semantics,
+    docstring there)."""
+    dtype = X0.dtype
+    N, O = mask.shape
+    return gauss_newton_soa(
+        p_soa(P_obs),
+        [xy[:, o, 0] for o in range(O)],
+        [xy[:, o, 1] for o in range(O)],
+        [mask[:, o].astype(dtype) for o in range(O)],
+        X0, max_iters=max_iters, epsilon=epsilon,
+        accept_mse=accept_mse, det_min=det_min)
 
 
 def estimate_3d_positions(

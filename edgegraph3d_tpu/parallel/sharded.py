@@ -195,13 +195,17 @@ def sharded_seed_from_starts(mesh, plg_coords, plg_length, grids, P_mats,
 
 
 def sharded_follow_bidirectional(mesh, seeds, plg_coords, plg_length,
-                                 P_mats, F_table, cfg, max_steps: int):
+                                 P_mats, F_table, cfg, max_steps: int,
+                                 gn_cap: int | None = None):
     """Bidirectional chain following with the seed axis sharded.
 
     Each device sweeps its slice with its own early-exit `while_loop`
     (devices terminate independently — no synchronization inside the
     walk), replacing the reference's sequential per-seed recursion
-    (plg_matching.cpp:765-795)."""
+    (plg_matching.cpp:765-795).  `gn_cap` is the PER-DEVICE compacted
+    post-walk GN width (following.follow_seeds); the per-device
+    gn_overflow scalars replicate to the caller via the sharded output.
+    """
     from edgegraph3d_tpu.matching import following
 
     def build():
@@ -209,20 +213,23 @@ def sharded_follow_bidirectional(mesh, seeds, plg_coords, plg_length,
         rep = P()
 
         def local(seeds, plg_coords, plg_length, P_mats, F_table):
+            # gn_overflow is [1] per device -> the sharded output
+            # concatenates to [D]; callers read .max()
             return following.follow_seeds_bidirectional(
                 seeds, plg_coords, plg_length, P_mats, F_table, cfg,
-                max_steps)
+                max_steps, gn_cap=gn_cap)
 
         return shard_map(local, mesh=mesh,
                          in_specs=(sh, rep, rep, rep, rep),
                          out_specs=sh, check_vma=False)
 
-    fn = _cached(mesh, ("followb", cfg, max_steps), build)
+    fn = _cached(mesh, ("followb", cfg, max_steps, gn_cap), build)
     return fn(seeds, plg_coords, plg_length, P_mats, F_table)
 
 
 def sharded_follow_fixed(mesh, seeds, plg_coords, plg_length, P_mats,
-                         F_table, cfg, max_steps: int, perm, dirs):
+                         F_table, cfg, max_steps: int, perm, dirs,
+                         gn_cap: int | None = None):
     """Direction-pinned continuation sweep with the seed axis sharded
     (chains that hit max_steps resume from their final position)."""
     from edgegraph3d_tpu.matching import following
@@ -236,13 +243,13 @@ def sharded_follow_fixed(mesh, seeds, plg_coords, plg_length, P_mats,
             return following.follow_seeds(
                 seeds, plg_coords, plg_length, P_mats, F_table,
                 jnp.int32(1), cfg, max_steps, fixed_perm=perm,
-                fixed_dirs=dirs)
+                fixed_dirs=dirs, gn_cap=gn_cap)
 
         return shard_map(local, mesh=mesh,
                          in_specs=(sh, sh, sh, rep, rep, rep, rep),
                          out_specs=sh, check_vma=False)
 
-    fn = _cached(mesh, ("followf", cfg, max_steps), build)
+    fn = _cached(mesh, ("followf", cfg, max_steps, gn_cap), build)
     return fn(seeds, perm, dirs, plg_coords, plg_length, P_mats, F_table)
 
 

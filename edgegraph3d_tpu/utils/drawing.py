@@ -225,7 +225,7 @@ def draw_detection_process(sfmd: SfMData, ctx, refpoint: int,
     for v in cams:
         pt = jnp.asarray(obs[v], jnp.float32)
         starts = _JIT_STARTS(
-            ctx.grids[v], ctx.plg_coords[v], pt, ctx.cell,
+            ctx.grids[v], pt, ctx.cell,
             cfg.detection_starting_dist_px, 4)
         s_xy = np.asarray(starts.xy)
         s_ok = np.asarray(starts.valid)
@@ -245,7 +245,7 @@ def draw_detection_process(sfmd: SfMData, ctx, refpoint: int,
                     continue
                 line = line / n
                 corr = _JIT_CORR(
-                    ctx.grids[u], ctx.plg_coords[u],
+                    ctx.grids[u],
                     jnp.asarray(obs[u], jnp.float32),
                     jnp.asarray(line, jnp.float32), ctx.cell,
                     jnp.float32(max(radius,

@@ -81,12 +81,12 @@ def test_exclude_parallel_epipolar():
     line = jnp.asarray([1.0, 0.0, -10.0])   # x = 10 (vertical)
     pt = jnp.asarray([10.0, 10.0])
     base = detection.detect_epipolar_correspondences(
-        jnp.asarray(grids[0]), jnp.asarray(coords), pt, line, 10.0,
+        jnp.asarray(grids[0]), pt, line, 10.0,
         jnp.asarray(20.0), 2)
     found = set(np.asarray(base.pl_id)[np.asarray(base.valid)].tolist())
     assert 0 in found and 1 in found
     strict = detection.detect_epipolar_correspondences(
-        jnp.asarray(grids[0]), jnp.asarray(coords), pt, line, 10.0,
+        jnp.asarray(grids[0]), pt, line, 10.0,
         jnp.asarray(20.0), 2, exclude_parallel_cos=0.965)
     found2 = set(np.asarray(strict.pl_id)[np.asarray(strict.valid)].tolist())
     assert 0 in found2 and 1 not in found2

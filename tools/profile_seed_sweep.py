@@ -60,7 +60,7 @@ def starts_only(ox):
     def start_view(v):
         def q(pt):
             return detection.detect_starting_intersections(
-                ctx.grids[v], ctx.plg_coords[v], pt, ctx.cell,
+                ctx.grids[v], pt, ctx.cell,
                 cfg.detection_starting_dist_px, M)
         return jax.vmap(q)(ox[:, v])
     s = jax.lax.map(start_view, jnp.arange(V))
@@ -88,7 +88,7 @@ def corr_only(starts, ox, om):
     def corr_view(vo):
         def q(pt, line, rad):
             return detection.detect_epipolar_correspondences(
-                ctx.grids[vo], ctx.plg_coords[vo], pt, line, ctx.cell,
+                ctx.grids[vo], pt, line, ctx.cell,
                 rad, M)
         pt = jnp.broadcast_to(ox[:, vo][:, None, None, :], (N, V, M, 2))
         line = lines[:, :, :, vo]

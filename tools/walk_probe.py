@@ -76,11 +76,17 @@ def main():
               + rng.normal(0, 0.5, (width, 3, 2))).astype(np.float32)
         return jnp.asarray(cams), jnp.asarray(xy)
 
+    # LEARNING (probe v1/v2 OOM): a gathered [N,3,4] f32 on TPU tiles
+    # to T(4,128) = 43x padding -> 51 GB at N=8.4M.  Gather camera
+    # matrices in TRANSPOSED [3,4,N] layout (batch axis last) so the
+    # tile padding is on dims of size 3/4 only.
+    P_t = jnp.moveaxis(P_mats, 0, -1)                 # [3,4,V]
+
     def gn_full(cams, xyj):
-        # the P gather happens INSIDE jit (a materialized [N,3,4] f32
-        # tiles to T(4,128) on TPU = 43x padding — the real kernels
-        # never materialize it either)
-        Pw = P_mats[cams]
+        # [3,4,N,O] -> [N,O,3,4]; the consumer transposes right back to
+        # [O,3,4,N], so XLA composes the transposes without ever
+        # materializing the N-major layout
+        Pw = jnp.transpose(P_t[:, :, cams], (2, 3, 0, 1))
         m3 = jnp.ones(xyj.shape[:2], bool)
         X0 = triangulate_dlt(Pw, xyj, m3)
         return gauss_newton_batched(Pw, xyj, m3, X0,
@@ -88,28 +94,15 @@ def main():
                                     epsilon=cfg.gn_epsilon,
                                     accept_mse=cfg.match_gn_max_mse)
 
-    for width in (Sb * T, Sb * T // 8, Sb * T // 32, Sb * T // 64):
+    # NOTE: width Sb*T (8.4M) OOMs — the gathered [N,3,4] layout tiles
+    # to 51 GB.  The production kernel avoided it only because its
+    # per-row P was a BROADCAST (fusible for free); any gather-based
+    # compaction must carry P as 36 separate [N] vectors (SoA).  The
+    # widths below bracket the planned compacted-GN cap.
+    for width in (Sb * T // 8, Sb * T // 32, Sb * T // 64):
         cams, xyj = make_obs(width)
         dt, _ = timed(jax.jit(gn_full), cams, xyj)
-        print(f"GN+DLT width={width:>9}: {dt*1e3:8.1f} ms")
-
-    # sparse-mask variant at full width: dead lanes (mask=0) freeze
-    # after one iteration — how much does early-exit + masking recover?
-    width = Sb * T
-    cams, xyj = make_obs(width)
-    live = rng.random(width) < 0.01
-    m3s = jnp.asarray(np.broadcast_to(live[:, None], (width, 3)).copy())
-    xyz = jnp.where(jnp.asarray(live)[:, None, None], xyj, 0.0)
-
-    def gn_masked(cams, xyj, m3):
-        Pw = P_mats[cams]
-        X0 = triangulate_dlt(Pw, xyj, m3)
-        return gauss_newton_batched(Pw, xyj, m3, X0,
-                                    max_iters=cfg.gn_max_iters,
-                                    epsilon=cfg.gn_epsilon,
-                                    accept_mse=cfg.match_gn_max_mse)
-    dt, _ = timed(jax.jit(gn_masked), cams, xyz, m3s)
-    print(f"GN+DLT width={width:>9} (1% live mask): {dt*1e3:8.1f} ms")
+        print(f"GN+DLT width={width:>9}: {dt*1e3:8.1f} ms", flush=True)
 
     # --- 2. the walk loop, nested vs packed layout ------------------
     # random smooth polylines; seeds on them
