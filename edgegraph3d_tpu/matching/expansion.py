@@ -326,23 +326,34 @@ def expand_chains_compact(plg_coords, grids, P_mats, F_table, cell: float,
     drive_h = jnp.concatenate(
         [obs3[:, 0, :], jnp.ones((K, 1), dtype)], axis=-1)
 
-    P3 = P_mats[cam_rows]                                  # [K,3,3,4]
-    P_obs = jnp.zeros((K, Omax, 3, 4), dtype).at[:, :3].set(P3)
-    obs_xy_buf = jnp.zeros((K, Omax, 2), dtype).at[:, :3].set(obs3)
+    # observation buffers in TILE-EXACT layouts: camera INDICES (one
+    # i32 per slot) instead of materialized [K, Omax, 3, 4] matrices
+    # (that form tiles T(4,128) = 42x padding — measured 26 GB at
+    # K=262k, V=49), and split x/y coordinate planes instead of a
+    # trailing dim of 2 (which tiles to 128 lanes).  The GN consumes
+    # the SoA form directly (gauss_newton_soa), gathering each P entry
+    # as a [K] vector from the tiny [V] table.
+    cam_buf = jnp.full((K, Omax), 0, jnp.int32).at[:, :3].set(cam_rows)
+    obs_x_buf = jnp.zeros((K, Omax), dtype).at[:, :3].set(obs3[..., 0])
+    obs_y_buf = jnp.zeros((K, Omax), dtype).at[:, :3].set(obs3[..., 1])
     obs_mask = jnp.zeros((K, Omax), bool).at[:, :3].set(
         item_ok[:, None])
 
-    out_xy = jnp.zeros((K, V, 2), dtype)
+    out_x = jnp.zeros((K, V), dtype)
+    out_y = jnp.zeros((K, V), dtype)
     out_ok = jnp.zeros((K, V), bool)
     r = jnp.arange(K)
     for k in range(3):
-        out_xy = out_xy.at[r, cam_rows[:, k]].set(obs3[:, k])
+        out_x = out_x.at[r, cam_rows[:, k]].set(obs3[:, k, 0])
+        out_y = out_y.at[r, cam_rows[:, k]].set(obs3[:, k, 1])
         out_ok = out_ok.at[r, cam_rows[:, k]].set(item_ok)
 
     n_chain = jnp.sum(chain_valid, axis=1)                 # [C]
+    from edgegraph3d_tpu.ops.triangulation import gauss_newton_soa
 
     def per_view(carry, v):
-        X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, _ = carry
+        X, cam_buf, obs_x_buf, obs_y_buf, obs_mask, out_x, out_y, \
+            out_ok, _ = carry
         proj, depth = project_depth(P_mats[v][None, None], X[:, None, :])
         proj = proj[:, 0]
         depth = depth[:, 0]
@@ -376,35 +387,45 @@ def expand_chains_compact(plg_coords, grids, P_mats, F_table, cell: float,
         cont_g = (run_len >= min_run) | (n_chain[:, None] <= 2)
         c_ok = c_ok & cont_g[chain_idx, t_idx]
 
-        # GN re-validation (identical to expand_chains_sweep)
+        # GN re-validation (identical semantics to expand_chains_sweep)
         free = ~obs_mask
         slot = jnp.argmax(free, axis=-1)
         put = c_ok & jnp.any(free, axis=-1)
-        P_try = P_obs.at[r, slot].set(
-            jnp.where(put[:, None, None], P_mats[v], P_obs[r, slot]))
-        xy_try = obs_xy_buf.at[r, slot].set(
-            jnp.where(put[:, None], c_xy, obs_xy_buf[r, slot]))
+        cam_try = cam_buf.at[r, slot].set(
+            jnp.where(put, v, cam_buf[r, slot]))
+        x_try = obs_x_buf.at[r, slot].set(
+            jnp.where(put, c_xy[:, 0], obs_x_buf[r, slot]))
+        y_try = obs_y_buf.at[r, slot].set(
+            jnp.where(put, c_xy[:, 1], obs_y_buf[r, slot]))
         m_try = obs_mask.at[r, slot].set(obs_mask[r, slot] | put)
-        Xr, mse, ok = gauss_newton_batched(
-            P_try, xy_try, m_try, X,
+        P_soa = [[[P_mats[:, a, b][cam_try[:, o]] for b in range(4)]
+                  for a in range(3)] for o in range(Omax)]
+        mf = [m_try[:, o].astype(dtype) for o in range(Omax)]
+        Xr, mse, ok = gauss_newton_soa(
+            P_soa, [x_try[:, o] for o in range(Omax)],
+            [y_try[:, o] for o in range(Omax)], mf, X,
             max_iters=cfg.follow_gn_iters, epsilon=cfg.gn_epsilon,
             accept_mse=cfg.match_gn_max_mse)
         accept = put & ok
 
         X = jnp.where(accept[:, None], Xr, X)
-        P_obs = jnp.where(accept[:, None, None, None], P_try, P_obs)
-        obs_xy_buf = jnp.where(accept[:, None, None], xy_try, obs_xy_buf)
+        cam_buf = jnp.where(accept[:, None], cam_try, cam_buf)
+        obs_x_buf = jnp.where(accept[:, None], x_try, obs_x_buf)
+        obs_y_buf = jnp.where(accept[:, None], y_try, obs_y_buf)
         obs_mask = jnp.where(accept[:, None], m_try, obs_mask)
-        out_xy = out_xy.at[:, v].set(
-            jnp.where(accept[:, None], c_xy, out_xy[:, v]))
+        out_x = out_x.at[:, v].set(
+            jnp.where(accept, c_xy[:, 0], out_x[:, v]))
+        out_y = out_y.at[:, v].set(
+            jnp.where(accept, c_xy[:, 1], out_y[:, v]))
         out_ok = out_ok.at[:, v].set(out_ok[:, v] | accept)
-        return (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, mse), None
+        return (X, cam_buf, obs_x_buf, obs_y_buf, obs_mask, out_x,
+                out_y, out_ok, mse), None
 
-    carry0 = (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok,
-              jnp.zeros((K,), dtype))
-    (X, P_obs, obs_xy_buf, obs_mask, out_xy, out_ok, mse), _ = \
-        jax.lax.scan(per_view, carry0, jnp.arange(V))
-    return X, out_xy, out_ok, mse
+    carry0 = (X, cam_buf, obs_x_buf, obs_y_buf, obs_mask, out_x, out_y,
+              out_ok, jnp.zeros((K,), dtype))
+    (X, cam_buf, obs_x_buf, obs_y_buf, obs_mask, out_x, out_y, out_ok,
+     mse), _ = jax.lax.scan(per_view, carry0, jnp.arange(V))
+    return X, jnp.stack([out_x, out_y], axis=-1), out_ok, mse
 
 
 def group_chains(seed_ids: np.ndarray, orders: np.ndarray,
