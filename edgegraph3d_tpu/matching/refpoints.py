@@ -1224,7 +1224,15 @@ def _locate_on_polylines(plg_coords, plg_length, grids, cell, xy_ev,
     Returns packed [E, V, 6] f32 rows [pl, seg, t, ok, dist, remaining].
     """
     E, V = xy_ev.shape[:2]
-    L = plg_coords.shape[2]
+    Vc, P_cnt, L, _ = plg_coords.shape
+    # flat [V*P, 2L] layout (x block then y block): the nested
+    # [E, L, 2] per-view gather tiles its (L, 2) minor dims to
+    # (L, 128) — measured ~1 GB of padded temp PER VIEW at full scale,
+    # the dominant slice of the 224 s chain-extension wall; the packed
+    # rows tile exactly (see following.follow_seeds)
+    packed = jnp.concatenate(
+        [plg_coords[..., 0], plg_coords[..., 1]],
+        axis=-1).reshape(Vc * P_cnt, 2 * L)
 
     def per_view(v):
         def q(pt):
@@ -1232,22 +1240,23 @@ def _locate_on_polylines(plg_coords, plg_length, grids, cell, xy_ev,
                 grids[v], pt, cell, reanchor_tol, 1)
         cand = jax.vmap(q)(xy_ev[:, v])
         pl = jnp.maximum(cand.pl_id[:, 0], 0)
-        seg = jnp.maximum(cand.seg[:, 0], 0)
-        coords = plg_coords[v, pl]                         # [E,L,2]
+        seg = jnp.maximum(cand.seg[:, 0], 0).astype(jnp.int32)
+        rows = packed[v * P_cnt + pl]                      # [E,2L]
+        px, py = rows[:, :L], rows[:, L:]
         n_pts = plg_length[v, pl]                          # [E]
-        seg_vec = coords[:, 1:] - coords[:, :-1]           # [E,L-1,2]
-        seg_len = jnp.sqrt(jnp.sum(seg_vec ** 2, axis=-1))
+        dx = px[:, 1:] - px[:, :-1]                        # [E,L-1]
+        dy = py[:, 1:] - py[:, :-1]
+        seg_len = jnp.sqrt(dx * dx + dy * dy)
         seg_ok = jnp.arange(L - 1)[None, :] < (n_pts[:, None] - 1)
         seg_len = jnp.where(seg_ok, seg_len, 0.0)
-        tangent = jnp.take_along_axis(
-            seg_vec, seg[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-        fwd = jnp.sum(tangent * dir_ev[:, v], axis=-1) >= 0
+        tx = jnp.take_along_axis(dx, seg[:, None], axis=1)[:, 0]
+        ty = jnp.take_along_axis(dy, seg[:, None], axis=1)[:, 0]
+        fwd = tx * dir_ev[:, v, 0] + ty * dir_ev[:, v, 1] >= 0
         cum = jnp.cumsum(seg_len, axis=1)
         total = cum[:, -1]
-        done = jnp.take_along_axis(
-            cum, seg[:, None].astype(jnp.int32), axis=1)[:, 0] \
+        done = jnp.take_along_axis(cum, seg[:, None], axis=1)[:, 0] \
             - (1.0 - cand.t[:, 0]) * jnp.take_along_axis(
-                seg_len, seg[:, None].astype(jnp.int32), axis=1)[:, 0]
+                seg_len, seg[:, None], axis=1)[:, 0]
         remaining = jnp.where(fwd, total - done, done)
         f = xy_ev.dtype
         return jnp.stack([
