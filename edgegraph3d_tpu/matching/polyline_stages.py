@@ -302,10 +302,12 @@ def _similarity_edges_host(node, valid, w_ref, obs_mask, used, nn, vv,
 
 
 def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
-                          max_sets: int | None = None) -> list[np.ndarray]:
+                          max_sets: int | None = None,
+                          stats=None) -> list[np.ndarray]:
     """Polyline-compatibility communities (parity:
     polyline_matching_similarity_graph + grappolo,
-    polyline_matcher.cpp:222-336).
+    polyline_matcher.cpp:222-336).  With `stats` (a PipelineStats) the
+    sub-phases are logged as stage1_close/graph/communities.
 
     Faithful semantics, vectorized on host (no per-refpoint Python
     loops):
@@ -323,12 +325,17 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
         (close to b AND visible on va) - intersection, each summed by
         refpoint weight
     """
+    import time
     cfg = ctx.config
+    t0 = time.time()
     obs_xy, obs_mask = dense_observations(sfmd)
     M = cfg.similarity_close_cap
     cand = _close_polylines_cached(sfmd, ctx, M, cfg.find_within_dist_px)
     valid = np.asarray(cand.valid) & obs_mask[..., None]   # [N,V,M]
     pl = np.asarray(cand.pl_id)
+    if stats is not None:
+        stats.log("stage1_close", t0)
+    t0 = time.time()
 
     N, V = obs_mask.shape
     P_cnt = ctx.plg_coords.shape[1]
@@ -386,9 +393,14 @@ def similarity_match_sets(sfmd: SfMData, ctx: MatchingContext,
     edges, weights = res
     if len(edges) == 0:
         return []
+    if stats is not None:
+        stats.log("stage1_graph", t0, len(edges))
+    t0 = time.time()
 
     comms = comm_mod.communities_from_edges(
         edges, weights, U, min_size=3, method=cfg.community_method)
+    if stats is not None:
+        stats.log("stage1_communities", t0, len(comms))
     out = []
     for c in comms:
         uc = used[np.asarray(c)]

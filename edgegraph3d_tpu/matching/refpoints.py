@@ -1341,7 +1341,8 @@ def _extension_locate_follow(plg_coords, plg_length, grids, P_mats,
 
 
 def extend_chains(ctx: MatchingContext, pts: EdgePoints,
-                  manager: "matches_mod.MatchesManager") -> EdgePoints:
+                  manager: "matches_mod.MatchesManager",
+                  stats=None) -> EdgePoints:
     """Grow chains outward from their ends using the EXPANDED view set
     (parity: the reference's follow_direction tail inside
     add_view_to_3dpoint_and_sides_plgp_matches_vector,
@@ -1357,14 +1358,24 @@ def extend_chains(ctx: MatchingContext, pts: EdgePoints,
     views and appended with continuing chain orders; rounds repeat
     while points are added (cfg.max_extension_rounds)."""
     for _ in range(ctx.config.max_extension_rounds):
-        added = _extend_once(ctx, pts, manager)
+        added = _extend_once(ctx, pts, manager, stats=stats)
         if added is None:
             break
         pts = added
     return pts
 
 
-def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
+def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager,
+                 stats=None):
+    import time as _time
+
+    def _log(name, t0, count=None):
+        if stats is not None:
+            stats.timings[name] = stats.timings.get(name, 0.0) \
+                + (_time.time() - t0)
+            if count is not None:
+                stats.counts[name] = stats.counts.get(name, 0) + count
+
     cfg = ctx.config
     V = ctx.P_mats.shape[0]
     n = len(pts.X)
@@ -1384,6 +1395,7 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
         return None
     e = np.asarray(ends, np.int64)
     E = len(e)
+    _t0 = _time.time()
 
     # tuple views: observed at BOTH the end and its neighbour (so the
     # away-from-chain test is defined), consistent at the end point
@@ -1460,6 +1472,8 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     meta = np.concatenate(meta_l)
     tv = np.concatenate(tv_l).astype(np.int32)
     loc = np.concatenate(loc_l)
+    _log("ext_locate_follow", _t0, E)
+    _t0 = _time.time()
     if not rows_l:
         return None
     rows = np.concatenate(rows_l)
@@ -1512,6 +1526,8 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     sidx = sidx[keep_rows]
     rord = rord[keep_rows]
 
+    _log("ext_claims", _t0)
+    _t0 = _time.time()
     # expand the new points to all views (fresh short chains per end)
     sign_e = e[:, 2]
     parent_order = pts.chain_order[e[:, 0]]
@@ -1526,6 +1542,7 @@ def _extend_once(ctx: MatchingContext, pts: EdgePoints, manager):
     new_order = parent_order[sidx] + sign_e[sidx] * np.abs(rord)
     new_pts.seed_id[:] = parent_sid
     new_pts.chain_order[:] = new_order
+    _log("ext_expand", _t0, len(new_pts.X))
     manager.counters["extension_points"] = \
         manager.counters.get("extension_points", 0) + len(new_pts.X)
     manager.counters["extension_rounds"] = \

@@ -155,7 +155,8 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
 
     if 1 in stages:
         t0 = time.time()
-        groups1 = polyline_stages.similarity_match_sets(sfmd, ctx)
+        groups1 = polyline_stages.similarity_match_sets(sfmd, ctx,
+                                                        stats=stats)
         stats.log("stage1_similarity_graph", t0, len(groups1))
         if debug is not None:
             debug["groups1"] = groups1
@@ -198,7 +199,8 @@ def reconstruct_all_stages(sfmd, ctx, stats: PipelineStats,
     pts = refpoints_mod.expand_and_assemble(ctx, *merged)
     stats.log("expand_all_views", t0, len(pts.X))
     t0 = time.time()
-    pts = refpoints_mod.extend_chains(ctx, pts, manager)
+    pts = refpoints_mod.extend_chains(ctx, pts, manager,
+                                      stats=stats)
     stats.log("chain_extension", t0,
               manager.counters.get("extension_points", 0))
     stats.counters.update(manager.counters)
