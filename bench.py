@@ -204,8 +204,12 @@ def cpu_slices_probe(args):
                "--no-trend"]
         t0 = time.time()
         out = subprocess.run(cmd, capture_output=True, timeout=14400)
-        line = out.stdout.decode().strip().splitlines()[-1]
-        rec = json.loads(line)
+        stdout_lines = out.stdout.decode().strip().splitlines()
+        if out.returncode != 0 or not stdout_lines:
+            sys.stderr.write(out.stderr.decode()[-4000:])
+            raise RuntimeError(
+                f"slice probe rc={out.returncode}, no stdout")
+        rec = json.loads(stdout_lines[-1])
         wall = args.views / rec["value"] if args.views else \
             49 / rec["value"]
         walls.append(wall)
@@ -333,9 +337,15 @@ def main():
 
     import jax
     # persistent compile cache: the tunneled TPU pays 30-60s per cold
-    # compile; the cache makes driver/bench runs steady-state
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    # compile; the cache makes driver/bench runs steady-state.
+    # CPU probes get their OWN cache dir: XLA:CPU AOT entries encode
+    # the compiling machine's ISA features, and loading an entry
+    # compiled on a different host SIGILLs (observed: the first
+    # --cpu-slices subprocess died loading .jax_cache entries built
+    # with +prefer-no-scatter/+amx flags this host lacks).
+    base = os.path.dirname(os.path.abspath(__file__))
+    cache_dir = os.path.join(
+        base, ".jax_cache_cpu" if args.probe_cpu else ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.probe_cpu:

@@ -21,10 +21,36 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from edgegraph3d_tpu.matching.grid import (BIG, gather_neighborhood,
                                            point_segment_distance)
+
+#: queries per lax.map block when batching detection queries: the
+#: neighborhood gather materializes [Q*cells, K, ENTRY_COLS] whose
+#: minor (K, 6) dims tile at ~21x padding — unbounded Q means
+#: multi-GB HLO temps (measured 9 GB at Q=262k; compile-time OOM)
+QUERY_BLOCK = 32768
+
+
+def map_query_blocks(fn, args, Q: int, block: int = QUERY_BLOCK):
+    """Run a vmapped per-query `fn` over [Q, ...] tensors in
+    `block`-sized lax.map blocks (pads Q up; output sliced back).
+    Bounds the padded neighborhood-gather temps on any query width."""
+    if Q <= block:
+        return fn(*args)
+    nb = -(-Q // block)
+    pad = nb * block - Q
+
+    def blocked(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) \
+            .reshape((nb, block) + a.shape[1:])
+
+    out = jax.lax.map(lambda xs: fn(*xs),
+                      tuple(blocked(a) for a in args))
+    return jax.tree.map(
+        lambda a: a.reshape((nb * block,) + a.shape[2:])[:Q], out)
 
 
 class Candidates(NamedTuple):

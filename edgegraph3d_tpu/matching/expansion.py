@@ -81,32 +81,6 @@ from edgegraph3d_tpu.ops.geometry import project_depth
 from edgegraph3d_tpu.ops.triangulation import gauss_newton_batched
 
 
-#: queries per inner block of _expand_candidates: the neighborhood
-#: gather materializes [Q*9, K, 6] entry blocks whose (K, 6) minor dims
-#: tile at ~21x padding — unbounded Q at the 4096-chain chunks meant a
-#: 9 GB temp (measured OOM); blocking caps it at ~1.1 GB
-_QUERY_BLOCK = 32768
-
-
-def _map_query_blocks(fn, args, Q: int):
-    """Run fn over [Q, ...] query tensors in _QUERY_BLOCK-sized
-    lax.map blocks (pads Q up; callers slice back)."""
-    B = _QUERY_BLOCK
-    if Q <= B:
-        return fn(*args)
-    nb = -(-Q // B)
-    pad = nb * B - Q
-
-    def blocked(a):
-        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) \
-            .reshape((nb, B) + a.shape[1:])
-
-    out = jax.lax.map(lambda xs: fn(*xs), tuple(blocked(a)
-                                                for a in args))
-    return jax.tree.map(
-        lambda a: a.reshape((nb * B,) + a.shape[2:])[:Q], out)
-
-
 def _expand_candidates(grid_v, proj, line, cell, tol: float,
                        mode: str, qp_cos: float = 0.965):
     """Per-query expansion candidate on one view.
@@ -115,7 +89,7 @@ def _expand_candidates(grid_v, proj, line, cell, tol: float,
     lines (unused in "closest" mode).  Returns (pl, seg, t, xy, ok)
     where ok = unique anchor polyline within tol (the reference's
     find_unique_polyline_potentially_within_search_dist demand)."""
-    cl = _map_query_blocks(
+    cl = detection.map_query_blocks(
         jax.vmap(lambda pt: detection.detect_starting_intersections(
             grid_v, pt, cell, tol, 2)), (proj,), proj.shape[0])
     pl = cl.pl_id[:, 0]
@@ -132,7 +106,7 @@ def _expand_candidates(grid_v, proj, line, cell, tol: float,
         # next_pl_point_by_line_intersection quasi-parallel guard,
         # polyline_graph_2d.hpp:72-74) — near-tangent intersections
         # amplify discretization error; those points use the fallback
-        ep = _map_query_blocks(
+        ep = detection.map_query_blocks(
             jax.vmap(
                 lambda pt, ln: detection.detect_epipolar_correspondences(
                     grid_v, pt, ln, cell, tol, 4,

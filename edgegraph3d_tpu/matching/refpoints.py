@@ -383,7 +383,10 @@ def _seed_from_starts(plg_coords, plg_length, grids, P_mats, F_table,
         def q(pt, line, rad):
             return detection.detect_epipolar_correspondences(
                 grids[vo], pt, line, cell, rad, M)
-        return jax.vmap(q)(obs_rows[:, vo], lines[:, vo], radius)
+        # blocked queries: bounds the padded neighborhood-gather temp
+        # (see detection.map_query_blocks) at any compacted-start width
+        return detection.map_query_blocks(
+            jax.vmap(q), (obs_rows[:, vo], lines[:, vo], radius), K)
     corr = jax.lax.map(corr_view, jnp.arange(V))             # [V,K,M]
     corr = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), corr)  # [K,V,M]
 

@@ -73,7 +73,50 @@ def med_dist(out, sfmd, curves):
     return float(np.median(d_pt)), float((d_gt < 2 * spacing).mean())
 
 
+def make_oracle_groups(sfmd, stack, curves, tol_px: float = 5.0):
+    """ORACLE stage-1 match sets from the ground-truth curve ids: every
+    (view, polyline) is assigned to the 3D curve whose projection it
+    lies on (median distance of the polyline's coords to the projected
+    curve samples <= tol_px); groups = one match set per curve.  This
+    bounds ATTAINABLE stage-1 recall — any loss below it under a real
+    partitioner is partitioner loss; loss at the oracle itself is
+    seeding/following-gate loss (VERDICT r4 weak #5 decomposition)."""
+    V = sfmd.n_cameras
+    groups = {c: [] for c in range(len(curves))}
+    proj_curves = []
+    for v in range(V):
+        pc = []
+        for c3d in curves:
+            Xh = np.concatenate([c3d, np.ones((len(c3d), 1))], axis=1)
+            pr = (sfmd.P[v] @ Xh.T).T
+            pc.append(pr[:, :2] / np.maximum(pr[:, 2:3], 1e-9))
+        proj_curves.append(pc)
+    for v in range(V):
+        for p in range(stack.coords.shape[1]):
+            n = int(stack.length[v, p])
+            if n < 2:
+                continue
+            xy = stack.coords[v, p, :n]
+            best, best_d = -1, np.inf
+            for ci, pr in enumerate(proj_curves[v]):
+                d = np.sqrt(((xy[:, None] - pr[None]) ** 2).sum(-1))
+                md = float(np.median(d.min(axis=1)))
+                if md < best_d:
+                    best, best_d = ci, md
+            if best >= 0 and best_d <= tol_px:
+                groups[best].append((v, p))
+    out = []
+    for ci in sorted(groups):
+        g = np.asarray(sorted(groups[ci]), np.int64)
+        if len(g) >= 3 and len(np.unique(g[:, 0])) >= 3:
+            out.append(g)
+    return out
+
+
 def run_one(scene_kw, method):
+    from edgegraph3d_tpu.matching import polyline_stages
+    from edgegraph3d_tpu.plgs.extraction import extract_plgs
+
     kw = dict(scene_kw)
     maker = synthetic.make_cube_scene if kw.pop("kind", None) == "cube" \
         else synthetic.make_scene
@@ -82,17 +125,27 @@ def run_one(scene_kw, method):
     tap = GraphTap()
     comm_mod.communities_from_edges, orig = tap, \
         comm_mod.communities_from_edges
+    orig_sim = polyline_stages.similarity_match_sets
+    if method == "oracle":
+        # ground-truth curve-id match sets in place of stage 1's
+        # partitioner (same downstream sweep/gates)
+        stack = extract_plgs(edge_imgs, CFG)
+        oracle_groups = make_oracle_groups(sfmd, stack, curves)
+        polyline_stages.similarity_match_sets = \
+            lambda *_a, **_k: oracle_groups
     try:
         stats = PipelineStats()
         out = run_pipeline(sfmd, edge_imgs,
-                           CFG.replace(community_method=method),
+                           CFG.replace(community_method=(
+                               "auto" if method == "oracle" else method)),
                            stats=stats, max_starting_views=2)
     finally:
         comm_mod.communities_from_edges = orig
+        polyline_stages.similarity_match_sets = orig_sim
     med, cov = med_dist(out, sfmd, curves)
     # score the captured stage-1 graph under this method's labels
     q, n_comm = float("nan"), 0
-    if tap.graphs and method != "union":
+    if tap.graphs and method not in ("union", "union3", "oracle"):
         e, w, n = tap.graphs[0]
         if method == "louvain":
             labels = comm_mod.louvain_host(e, w, n)
@@ -123,18 +176,24 @@ def main():
     lines = [
         "# Community detection A/B — grappolo replacement, measured",
         "",
-        "Three partitioners through the FULL pipeline on cluttered",
+        "Partitioners through the FULL pipeline on cluttered",
         "synthetic scenes (3-4 curves crossing in image space; "
         "`python tools/community_ab.py` regenerates):",
         "",
         "* **lp** — device label propagation (communities.py)",
-        "* **lp+merge** — LP + host modularity merge "
-        "(the pod-scale arm of config.community_method=\"auto\")",
-        "* **louvain** — sequential host Louvain, stand-in for "
-        "grappolo's multi-phase Louvain (louvainMultiPhaseRun.cpp)",
-        "* **union** — both partitions swept, overlap deduped by the "
-        "interval claims (config.community_method=\"auto\" at small "
-        "scale — the production default)",
+        "* **lp+merge** — LP + host modularity merge",
+        "* **louvain** — host Louvain, stand-in for grappolo's "
+        "multi-phase Louvain (louvainMultiPhaseRun.cpp; the "
+        "batch-parallel pass above 20k nodes)",
+        "* **union** — lp+merge + louvain partitions swept, overlap "
+        "deduped by the interval claims (round-4 default)",
+        "* **union3** — union + the RAW-LP partition as a third arm "
+        "(round-5 production default, config.community_method="
+        "\"auto\")",
+        "* **oracle** — ground-truth curve-id match sets (upper bound "
+        "on attainable stage-1 recall: loss under a real partitioner "
+        "vs this row is PARTITIONER loss; loss at the oracle itself "
+        "is seeding/following-gate loss)",
         "",
         "| scene | method | Q (stage-1 graph) | communities | "
         "stage-1 sets | stage-1 points | final edge-points | "
@@ -147,7 +206,8 @@ def main():
         # accumulate in one process — same vector tests/conftest.py
         # guards against
         jax.clear_caches()
-        for method in ("lp", "lp+merge", "louvain", "union"):
+        for method in ("lp", "lp+merge", "louvain", "union", "union3",
+                       "oracle"):
             r = run_one(sc, method)
             label = (f"{len(sc['curves'])} curves"
                      if "curves" in sc else "cube")
