@@ -55,19 +55,27 @@ FROZEN_R1_CPU_VIEWS_PER_S = 0.2835
 # Full-scale workload (49 views @1600x1200, 6268 refpoints, uncapped
 # starting views) same-code CPU baseline, measured by the SLICE
 # PROTOCOL (`python bench.py --cpu-slices`, round 5): one steady-state
-# CPU pass each at 1/8 and 1/4 of the refpoints (identical warmup
-# discipline), a linearity check of wall vs refpoint count, and a
-# linear extrapolation to 6268 refpoints.  Stage-3/extension work is
+# CPU pass each at two refpoint slices (identical warmup discipline),
+# a linear wall-vs-refpoints fit, and extrapolation to 6268 refpoints.  Stage-3/extension work is
 # proportional to refpoints (per-refpoint all-viewing-cams loop,
 # plg_matching_from_refpoints.cpp:64-81); the fitted intercept captures
 # the fixed extraction/context cost.  Round 4 could not even complete
 # ONE full CPU pass in its budget (>104 min) — the protocol gives the
-# >=10x BASELINE target a real measured denominator.  Value = views/s
-# from the extrapolated full-scale wall; None until measured this
-# round (the harness refuses to report an unmeasured number).
-FULL_CPU_BASELINE_VIEWS_PER_S = None
-#: filled by --cpu-slices: (slice walls, fitted model, extrapolation)
-FULL_CPU_BASELINE_NOTE = "unmeasured"
+# >=10x BASELINE target a real measured denominator.
+#
+# MEASURED 2026-08-21 (round 5, uncontended, same code as the TPU
+# runs): steady CPU walls 820.0 s @196 refpoints, 1975.8 s @783
+# refpoints -> fit wall = 434.1 + 1.969 * n_ref -> extrapolated
+# full-scale wall 12,776 s (3.55 h) -> 0.00384 views/s.  The linear
+# model is CONSERVATIVE for the ratio: the stage-1 pair build and
+# density/claiming costs grow superlinearly in refpoints, so the true
+# full CPU wall is >= the fit.  Consistent with round 4's bound (could
+# not finish 6268 refpoints in 6240 s).
+FULL_CPU_BASELINE_VIEWS_PER_S = 0.00384
+FULL_CPU_BASELINE_NOTE = (
+    "slice protocol: steady CPU passes at 196 and 783 refpoints "
+    "(820.0 s / 1975.8 s), wall = 434.1 + 1.969*n_ref, extrapolated "
+    "to 6268 -> 12776 s")
 
 
 def build_workload(n_views: int, width: int, height: int,
@@ -191,12 +199,15 @@ def run_workload(sfmd, edge_imgs, curves, n_views: int,
 
 def cpu_slices_probe(args):
     """Full-scale CPU baseline via the slice protocol: measure
-    steady-state CPU passes at 1/8 and 1/4 of the refpoints, check
-    linearity, extrapolate the full-scale wall (see the
-    FULL_CPU_BASELINE_VIEWS_PER_S comment).  Prints one JSON line with
-    the slice walls, the fitted model, and the extrapolated views/s."""
+    steady-state CPU passes at 1/32 and 1/8 of the refpoints, fit
+    wall = a + b*refpoints, extrapolate the full-scale wall (see the
+    FULL_CPU_BASELINE_VIEWS_PER_S comment).  1/8 is the largest slice
+    a round budget can afford twice (round 5 measured 33 min per
+    steady pass at 1/8; a 1/4 slice alone would cost ~2 h with its
+    warmup).  Prints one JSON line with the slice walls, the fitted
+    model, and the extrapolated views/s."""
     import subprocess
-    slices = [args.refpoints // 8, args.refpoints // 4]
+    slices = [args.refpoints // 32, args.refpoints // 8]
     walls = []
     for n_ref in slices:
         cmd = [sys.executable, os.path.abspath(__file__), "--probe-cpu",
