@@ -107,9 +107,12 @@ def _base_images(sfmd: SfMData, rgb_images: np.ndarray | None,
 
 def draw_plgs(stack: PLGStack, width: int, height: int,
               color_by: str = "polyline") -> np.ndarray:
-    """[V,H,W,3] images of the polyline graphs, colored per polyline or
-    per connected component (parity: draw_plgs,
-    drawing_utilities.hpp:185)."""
+    """[V,H,W,3] images of the polyline graphs, colored per polyline,
+    per connected component, or per individual segment (parity:
+    draw_plgs / draw_MultiColorPolyLines_PolyLineGraph_simplified /
+    draw_MultiColorComponents_PolyLineGraph_simplified /
+    draw_MultiColorSegments_PolyLineGraph_simplified,
+    drawing_utilities.cpp:989-1078)."""
     V = stack.n_views
     out = np.zeros((V, height, width, 3), dtype=np.uint8)
     comp = None
@@ -117,9 +120,14 @@ def draw_plgs(stack: PLGStack, width: int, height: int,
         comp = [stack.view(v).components() for v in range(V)]
     for v in range(V):
         for p in np.flatnonzero(stack.valid[v]):
-            key = comp[v][p] if comp is not None else p
             c = stack.coords[v, p, : stack.length[v, p]]
-            _draw_polyline(out[v], c, _color(key))
+            if color_by == "segment":
+                for k in range(len(c) - 1):
+                    _draw_line(out[v], c[k], c[k + 1],
+                               _color(p * 131 + k))
+            else:
+                key = comp[v][p] if comp is not None else p
+                _draw_polyline(out[v], c, _color(key))
     return out
 
 
@@ -386,6 +394,305 @@ def draw_chains(pts, P_mats: np.ndarray, width: int,
                 continue
             _draw_line(out[v], pr[a], pr[b], _color(pts.seed_id[a]))
     return out
+
+
+# ---------------------------------------------------------------------
+# Reference primitive + long-tail drawing API.  Thin compositions of the
+# rasterizer above, one per reference `draw_*` family
+# (drawing_utilities.cpp:53-1191, drawing_utilities.hpp:58-259).  All
+# colors are RGB uint8 triples; `img` arguments are [H,W,3] uint8 arrays
+# mutated in place, matching the reference's cv::Mat& convention.
+
+WHITE = np.asarray([255, 255, 255], np.uint8)
+
+# DRAW_REFERENCE_POINT_RADIUS / DRAW_INTERSECTION_POINT_RADIUS /
+# DRAW_NEW_MATCHED_POINT_RADIUS (drawing_utilities.hpp:58-60)
+DRAW_REFERENCE_POINT_RADIUS = 2
+DRAW_INTERSECTION_POINT_RADIUS = 2
+DRAW_NEW_MATCHED_POINT_RADIUS = DRAW_INTERSECTION_POINT_RADIUS + 1
+
+
+def _draw_disk(img: np.ndarray, xy, radius: int, color) -> None:
+    h, w = img.shape[:2]
+    x, y = int(round(xy[0])), int(round(xy[1]))
+    r = int(radius)
+    y0, y1 = max(y - r, 0), min(y + r + 1, h)
+    x0, x1 = max(x - r, 0), min(x + r + 1, w)
+    if y0 >= y1 or x0 >= x1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    mask = (yy - y) ** 2 + (xx - x) ** 2 <= r * r
+    img[y0:y1, x0:x1][mask] = color
+
+
+def draw_point(img: np.ndarray, xy, color=WHITE,
+               radius: int = DRAW_REFERENCE_POINT_RADIUS) -> None:
+    """Filled dot (parity: draw_point/draw_point_glm,
+    drawing_utilities.cpp:53-74)."""
+    _draw_disk(img, xy, radius, color)
+
+
+def draw_points(img: np.ndarray, pts, colors=None,
+                radius: int = DRAW_REFERENCE_POINT_RADIUS) -> None:
+    """Many dots, one shared or per-point color (parity:
+    draw_points_glm overloads, drawing_utilities.cpp:76-92)."""
+    pts = np.asarray(pts).reshape(-1, 2)
+    for i, p in enumerate(pts):
+        if colors is None:
+            c = _color(i)
+        elif np.ndim(colors) == 2:
+            c = colors[i]
+        else:
+            c = colors
+        _draw_disk(img, p, radius, c)
+
+
+def draw_reference_point(img: np.ndarray, xy, color) -> None:
+    """(parity: draw_reference_point_glm, drawing_utilities.cpp:94)."""
+    _draw_disk(img, xy, DRAW_REFERENCE_POINT_RADIUS, color)
+
+
+def draw_intersection_point(img: np.ndarray, xy, color) -> None:
+    """(parity: draw_intersection_point_glm,
+    drawing_utilities.cpp:102)."""
+    _draw_disk(img, xy, DRAW_INTERSECTION_POINT_RADIUS, color)
+
+
+def draw_segment_on_img(img: np.ndarray, segm, color) -> None:
+    """segm = (x1, y1, x2, y2) (parity: draw_segment_on_img,
+    drawing_utilities.cpp:106-112)."""
+    _draw_line(img, segm[:2], segm[2:4], color)
+
+
+def draw_segments_on_image(img: np.ndarray, segments,
+                           colors=None) -> None:
+    """colors: None = deterministic per-segment palette (the rnd_colors
+    variant), a single RGB triple, or one triple per segment (parity:
+    draw_segments_on_image* family, drawing_utilities.cpp:785-843)."""
+    segments = np.asarray(segments).reshape(-1, 4)
+    for i, s in enumerate(segments):
+        if colors is None:
+            c = _color(i)
+        elif np.ndim(colors) == 2:
+            c = colors[i]
+        else:
+            c = colors
+        _draw_line(img, s[:2], s[2:4], c)
+
+
+def draw_segments_on_newimage(size, segments, colorbg,
+                              colorlines) -> np.ndarray:
+    """size = (height, width) (parity: draw_segments_on_newimage,
+    drawing_utilities.cpp:789)."""
+    h, w = size
+    img = np.empty((h, w, 3), np.uint8)
+    img[:] = colorbg
+    draw_segments_on_image(img, segments, colorlines)
+    return img
+
+
+def draw_segments_on_newimage_with_extremes(
+        size, segments, colorbg, colorlines, colorstart,
+        colorend) -> np.ndarray:
+    """Segments plus their start/end extremes as dots (parity:
+    draw_segments_on_newimage_with_extremes,
+    drawing_utilities.cpp:800)."""
+    img = draw_segments_on_newimage(size, segments, colorbg, colorlines)
+    for s in np.asarray(segments).reshape(-1, 4):
+        _draw_disk(img, s[:2], DRAW_REFERENCE_POINT_RADIUS, colorstart)
+        _draw_disk(img, s[2:4], DRAW_REFERENCE_POINT_RADIUS, colorend)
+    return img
+
+
+def draw_line(img: np.ndarray, line, color) -> None:
+    """Infinite line (a,b,c): ax+by+c=0, clipped (parity:
+    draw_line_glm, drawing_utilities.cpp:114)."""
+    _draw_infinite_line(img, line, color)
+
+
+def draw_lines(img: np.ndarray, lines, colors=None) -> None:
+    """(parity: draw_lines_glm, drawing_utilities.cpp:126)."""
+    for i, ln in enumerate(np.asarray(lines).reshape(-1, 3)):
+        c = _color(i) if colors is None else (
+            colors[i] if np.ndim(colors) == 2 else colors)
+        _draw_infinite_line(img, ln, c)
+
+
+def draw_circle(img: np.ndarray, center, radius, color) -> None:
+    """(parity: draw_circle_glm, drawing_utilities.cpp:131)."""
+    _draw_circle(img, center, radius, color)
+
+
+def draw_refpoints_on_imgs(sfmd: SfMData, width: int, height: int,
+                           point_ids=None, colors=None,
+                           radius: float | None = None,
+                           radius2: float | None = None,
+                           rgb_images: np.ndarray | None = None
+                           ) -> np.ndarray:
+    """Refpoint observations on every viewing cam; optional one or two
+    concentric highlight circles (parity: draw_refpoint[s]_on_imgs /
+    _with_circle[s]_on_imgs / draw_setofrefpoints_on_imgs,
+    drawing_utilities.cpp:465-535,592-643)."""
+    out = _base_images(sfmd, rgb_images, width, height)
+    ids = range(sfmd.n_points) if point_ids is None else point_ids
+    for i in ids:
+        c = _color(i) if colors is None else (
+            colors[i] if np.ndim(colors) == 2 else colors)
+        for cam, xy in zip(sfmd.obs_cam[i],
+                           np.asarray(sfmd.obs_xy[i]).reshape(-1, 2)):
+            _draw_disk(out[int(cam)], xy, DRAW_REFERENCE_POINT_RADIUS, c)
+            if radius is not None:
+                _draw_circle(out[int(cam)], xy, radius, c)
+            if radius2 is not None:
+                _draw_circle(out[int(cam)], xy, radius2, c)
+    return out
+
+
+def draw_img_pair_refpoints(sfmd: SfMData, i: int, j: int, width: int,
+                            height: int,
+                            rgb_images: np.ndarray | None = None
+                            ) -> np.ndarray:
+    """[2,H,W,3]: the refpoints visible in BOTH cams i and j, same color
+    in both (parity: draw_img_pair_refpoints,
+    drawing_utilities.cpp:646)."""
+    out = _base_images(sfmd, rgb_images, width, height)[[i, j]]
+    for pid in _common_refpoints(sfmd, i, j):
+        c = _color(pid)
+        for k, cam in enumerate((i, j)):
+            xy = _obs_in_cam(sfmd, pid, cam)
+            _draw_disk(out[k], xy, DRAW_REFERENCE_POINT_RADIUS, c)
+    return out
+
+
+def _common_refpoints(sfmd: SfMData, i: int, j: int):
+    return [p for p in range(sfmd.n_points)
+            if i in set(map(int, sfmd.obs_cam[p]))
+            and j in set(map(int, sfmd.obs_cam[p]))]
+
+
+def _obs_in_cam(sfmd: SfMData, pid: int, cam: int) -> np.ndarray:
+    xys = np.asarray(sfmd.obs_xy[pid]).reshape(-1, 2)
+    for c, xy in zip(sfmd.obs_cam[pid], xys):
+        if int(c) == cam:
+            return xy
+    raise KeyError((pid, cam))
+
+
+def draw_img_pair_epipolars_refpoints(
+        sfmd: SfMData, F_table: np.ndarray, i: int, j: int, width: int,
+        height: int, rgb_images: np.ndarray | None = None) -> np.ndarray:
+    """[2,H,W,3]: common refpoints of cams (i, j) plus each point's
+    epipolar line in the OTHER image, matching colors (parity:
+    draw_img_pair_epipolars_refpoints, drawing_utilities.cpp:660)."""
+    out = draw_img_pair_refpoints(sfmd, i, j, width, height, rgb_images)
+    for pid in _common_refpoints(sfmd, i, j):
+        c = _color(pid)
+        xi, xj = _obs_in_cam(sfmd, pid, i), _obs_in_cam(sfmd, pid, j)
+        _draw_infinite_line(
+            out[1], F_table[i, j] @ np.asarray([xi[0], xi[1], 1.0]), c)
+        _draw_infinite_line(
+            out[0], F_table[j, i] @ np.asarray([xj[0], xj[1], 1.0]), c)
+    return out
+
+
+def draw_point_epipolars_on_imgs(sfmd: SfMData, F_table: np.ndarray,
+                                 xy, starting_img: int, width: int,
+                                 height: int, color=WHITE,
+                                 rgb_images: np.ndarray | None = None
+                                 ) -> np.ndarray:
+    """A 2D point in `starting_img` and its epipolar line in every other
+    view (parity: draw_point_epipolars_on_imgs /
+    draw_refpoint_epipolars_on_imgs, drawing_utilities.cpp:610-628)."""
+    out = _base_images(sfmd, rgb_images, width, height)
+    _draw_disk(out[starting_img], xy, DRAW_REFERENCE_POINT_RADIUS, color)
+    xh = np.asarray([xy[0], xy[1], 1.0])
+    for v in range(sfmd.n_cameras):
+        if v != starting_img:
+            _draw_infinite_line(out[v], F_table[starting_img, v] @ xh,
+                                color)
+    return out
+
+
+def draw_point_projections(imgs: np.ndarray, coords, cameras,
+                           color=None) -> None:
+    """2D coords onto their cameras' images, in place (parity:
+    draw_point_projections, drawing_utilities.cpp:540-577)."""
+    coords = np.asarray(coords, float).reshape(-1, 2)
+    for k, (xy, cam) in enumerate(zip(coords, cameras)):
+        _draw_disk(imgs[int(cam)], xy, DRAW_NEW_MATCHED_POINT_RADIUS,
+                   _color(k) if color is None else color)
+
+
+def draw_3dpoints_on_imgs(imgs: np.ndarray, p3ds,
+                          color=None) -> None:
+    """p3ds: iterable of (X, coords_2d, cam_ids) observation tuples —
+    the reference's new-point triple (parity: draw_3dpoint[s]_on_imgs /
+    draw_new_consensus_points / draw_consensus_matched_points,
+    drawing_utilities.cpp:553-587,460-463,759-783)."""
+    for k, (_, coords, cams) in enumerate(p3ds):
+        draw_point_projections(
+            imgs, coords, cams, _color(k) if color is None else color)
+
+
+def draw_plgs_bw(stack: PLGStack, width: int, height: int) -> np.ndarray:
+    """White polylines on black (parity: draw_plgs_bw,
+    drawing_utilities.cpp:1162)."""
+    V = stack.n_views
+    out = np.zeros((V, height, width, 3), dtype=np.uint8)
+    for v in range(V):
+        for p in np.flatnonzero(stack.valid[v]):
+            c = stack.coords[v, p, : stack.length[v, p]]
+            _draw_polyline(out[v], c, WHITE)
+    return out
+
+
+def draw_polyline_graph_simplified(img: np.ndarray, stack: PLGStack,
+                                   view: int, color) -> None:
+    """Single-color overlay of one view's PLG onto `img`, in place
+    (parity: draw_polyline_graph_simplified /
+    draw_PolyLineGraph_simplified_overlay,
+    drawing_utilities.cpp:1080-1114)."""
+    for p in np.flatnonzero(stack.valid[view]):
+        c = stack.coords[view, p, : stack.length[view, p]]
+        _draw_polyline(img, c, color)
+
+
+def draw_colored_components_and_edge_refpoints(
+        stack: PLGStack, sfmd: SfMData, width: int, height: int,
+        first_edgepoint: int = 0) -> np.ndarray:
+    """Component-colored PLGs with the edge refpoints' observations
+    overlaid white (parity: draw_colored_components_and_edge_refpoints,
+    drawing_utilities.cpp:1123)."""
+    out = draw_plgs(stack, width, height, color_by="component")
+    for i in range(first_edgepoint, sfmd.n_points):
+        for cam, xy in zip(sfmd.obs_cam[i],
+                           np.asarray(sfmd.obs_xy[i]).reshape(-1, 2)):
+            _draw_disk(out[int(cam)], xy, DRAW_REFERENCE_POINT_RADIUS,
+                       WHITE)
+    return out
+
+
+# The reference's stage-1 output renderer takes the same
+# (view, polyline)-set structure as our match sets
+# (parity: draw_polyline_matches, drawing_utilities.cpp:1136).
+draw_polyline_matches = draw_match_sets
+
+
+def draw_and_write_focus_image(sfmd: SfMData, F_table: np.ndarray,
+                               refpoint: int, starting_img: int,
+                               counter: int, folder: str, width: int,
+                               height: int,
+                               stack: PLGStack | None = None) -> str:
+    """One refpoint's epipolar process written as the reference's
+    numbered focus image (parity: draw_and_write_focus_image,
+    drawing_utilities.cpp:1147-1153)."""
+    os.makedirs(folder, exist_ok=True)
+    imgs = draw_epipolar_process(sfmd, F_table, refpoint, width, height,
+                                 stack=stack)
+    path = os.path.join(
+        folder, f"focus_{counter:06d}_p{refpoint}_s{starting_img}.png")
+    Image.fromarray(imgs[starting_img]).save(path)
+    return path
 
 
 def save_debug_images(sfmd: SfMData, folder: str,

@@ -82,6 +82,113 @@ def test_community_coloring_and_match_epipolars():
     assert not epi[3].any()
 
 
+def test_primitive_draw_family():
+    """The reference primitive surface (drawing_utilities.cpp:53-135,
+    785-843) mapped onto the numpy rasterizer."""
+    img = np.zeros((60, 80, 3), np.uint8)
+    red = np.asarray([255, 0, 0], np.uint8)
+    drawing.draw_point(img, (10, 10), red)
+    assert (img[10, 10] == red).all()
+    drawing.draw_points(img, [(20, 10), (30, 10)])
+    drawing.draw_reference_point(img, (40, 10), red)
+    drawing.draw_intersection_point(img, (50, 10), red)
+    drawing.draw_segment_on_img(img, (0, 30, 79, 30), red)
+    assert (img[30, 40] == red).all()
+    drawing.draw_segments_on_image(img, [(0, 40, 79, 40)])
+    assert img[40].any()
+    drawing.draw_line(img, (0.0, 1.0, -50.0), red)  # y = 50
+    assert (img[50, 40] == red).all()
+    drawing.draw_lines(img, [(1.0, 0.0, -5.0)])     # x = 5
+    assert img[25, 5].any()
+    drawing.draw_circle(img, (40, 30), 8, red)
+
+    bg = np.asarray([10, 10, 10], np.uint8)
+    green = np.asarray([0, 255, 0], np.uint8)
+    blue = np.asarray([0, 0, 255], np.uint8)
+    seg = [(5, 5, 70, 50)]
+    fresh = drawing.draw_segments_on_newimage((60, 80), seg, bg, red)
+    assert (fresh[0, 0] == bg).all() and (fresh[5, 5] == red).all()
+    ext = drawing.draw_segments_on_newimage_with_extremes(
+        (60, 80), seg, bg, red, green, blue)
+    assert (ext[5, 5] == green).all() and (ext[50, 70] == blue).all()
+
+
+def test_refpoint_overlays_and_pair_epipolars():
+    """draw_refpoints_on_imgs (+circles), the img-pair family, and
+    point epipolars (drawing_utilities.cpp:465-673,610-628); the pair
+    epipolar line must pass through the partner observation."""
+    sfmd, edges, _ = _scene()
+    over = drawing.draw_refpoints_on_imgs(sfmd, 160, 120, radius=6.0,
+                                          radius2=10.0)
+    assert over.shape == (4, 120, 160, 3) and over.any()
+    sub = drawing.draw_refpoints_on_imgs(sfmd, 160, 120, point_ids=[0])
+    assert sub.any() and sub.sum() < over.sum()
+
+    from edgegraph3d_tpu.plgs.extraction import extract_plgs
+    from edgegraph3d_tpu.matching import refpoints as refpoints_mod
+    stack = extract_plgs(edges, CFG)
+    ctx = refpoints_mod.build_context(sfmd, stack, CFG)
+    F = np.asarray(ctx.F_table)
+    pair = drawing.draw_img_pair_refpoints(sfmd, 0, 1, 160, 120)
+    assert pair.shape == (2, 120, 160, 3) and pair[0].any()
+    epi = drawing.draw_img_pair_epipolars_refpoints(sfmd, F, 0, 1,
+                                                    160, 120)
+    assert epi.sum() > pair.sum()
+    # geometric parity: epipolar line of cam-0 obs passes through the
+    # cam-1 obs (within rasterization tolerance)
+    pid = drawing._common_refpoints(sfmd, 0, 1)[0]
+    x0 = drawing._obs_in_cam(sfmd, pid, 0)
+    x1 = drawing._obs_in_cam(sfmd, pid, 1)
+    line = F[0, 1] @ np.asarray([x0[0], x0[1], 1.0])
+    d = abs(line @ np.asarray([x1[0], x1[1], 1.0]))
+    d /= np.hypot(line[0], line[1])
+    assert d < 1.5
+
+    pe = drawing.draw_point_epipolars_on_imgs(sfmd, F, x0, 0, 160, 120)
+    assert pe[0].any() and pe[1].any() and pe[2].any()
+
+
+def test_projection_plg_variants_and_focus(tmp_path):
+    """3D-point projections, bw/segment/single-color PLG renders,
+    component+refpoint compose, and the numbered focus image
+    (drawing_utilities.cpp:540-587,989-1191)."""
+    sfmd, edges, _ = _scene()
+    from edgegraph3d_tpu.plgs.extraction import extract_plgs
+    stack = extract_plgs(edges, CFG)
+
+    imgs = np.zeros((4, 120, 160, 3), np.uint8)
+    drawing.draw_point_projections(imgs, [(30, 30), (50, 50)], [0, 1])
+    assert imgs[0].any() and imgs[1].any() and not imgs[2].any()
+    drawing.draw_3dpoints_on_imgs(
+        imgs, [((0.0, 0.0, 1.0), [(70, 70)], [2])])
+    assert imgs[2].any()
+
+    bw = drawing.draw_plgs_bw(stack, 160, 120)
+    on = bw.sum(-1) > 0
+    assert on.any() and (bw[on] == 255).all()
+    seg = drawing.draw_plgs(stack, 160, 120, color_by="segment")
+    assert ((seg.sum(-1) > 0) == on).all()
+
+    overlay = np.zeros((120, 160, 3), np.uint8)
+    drawing.draw_polyline_graph_simplified(
+        overlay, stack, 0, np.asarray([0, 255, 0], np.uint8))
+    o = overlay.sum(-1) > 0
+    assert o.any() and (overlay[o] == [0, 255, 0]).all()
+
+    comp = drawing.draw_colored_components_and_edge_refpoints(
+        stack, sfmd, 160, 120)
+    assert (comp == 255).all(-1).any()
+
+    assert drawing.draw_polyline_matches is drawing.draw_match_sets
+
+    from edgegraph3d_tpu.matching import refpoints as refpoints_mod
+    ctx = refpoints_mod.build_context(sfmd, stack, CFG)
+    path = drawing.draw_and_write_focus_image(
+        sfmd, np.asarray(ctx.F_table), 0, int(sfmd.obs_cam[0][0]), 7,
+        str(tmp_path), 160, 120, stack=stack)
+    assert os.path.exists(path) and "focus_000007" in path
+
+
 def test_save_debug_images_full_suite(tmp_path):
     sfmd, edges, _ = _scene()
     stack = extract_plgs(edges, CFG)
