@@ -321,7 +321,11 @@ def expand_chains_compact(plg_coords, grids, P_mats, F_table, cell: float,
     """
     V = P_mats.shape[0]
     K = X.shape[0]
-    dtype = X.dtype
+    # common promotion: under x64 P_mats/obs arrive f64 while seed X may
+    # still be f32 — the scan carry (X, mse) must not promote mid-loop
+    dtype = jnp.result_type(X.dtype, P_mats.dtype, obs3.dtype)
+    X = X.astype(dtype)
+    obs3 = obs3.astype(dtype)
     tol = float(np.sqrt(cfg.expand_max_projection_distsq))
     Omax = min(V, max(cfg.max_obs_per_point, 4))
     cam_rows = cams3[chain_idx]                            # [K,3]

@@ -199,7 +199,11 @@ def gauss_newton_soa(
     v5e.  (See p_soa: gathered compacted paths also NEED this form —
     a materialized gathered [N,3,4] tiles at 43x padding.)
     """
-    dtype = X0.dtype
+    # common promotion: under x64 the cameras/observations arrive f64
+    # while seeds may still be f32 host arrays — without this the
+    # while_loop carry promotes mid-loop and fails to typecheck
+    dtype = jnp.result_type(X0.dtype, P[0][0][0].dtype, ox[0].dtype)
+    X0 = X0.astype(dtype)
     O = len(P)
     N = X0.shape[0]
     mask_sum = sum(m for m in mf)                                  # [N]
